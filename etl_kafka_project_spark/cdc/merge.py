@@ -1,0 +1,269 @@
+"""Copy-on-write MERGE of a folded change batch into a LakeTable.
+
+The vectorized, partition-pruned replacement for the reference's per-event
+state mutation (``pyspark_interface.py:38-70``) and keyed sink upsert
+(``redis_interface.py:38-61``). One micro-batch = ONE merge:
+
+    folded batch (one resolved action per key, from ``cdc/fold.py``)
+      → touched buckets = distinct hash-bucket of batch keys (small, collected
+        together with per-bucket lineage stats in one job)
+      → read ONLY those buckets from the table (manual partition pruning)
+      → full-outer resolve (MERGE WHEN MATCHED / NOT MATCHED, column-granular
+        LWW vs the target's last_lsn)
+      → rewrite only the touched buckets' files; atomic snapshot commit that
+        also records the stream epoch (exactly-once).
+
+Table meta columns (the generalization of the reference's per-key
+``touch_counter``, ``utils/schemas.py:29``):
+
+* ``last_lsn``       — newest LSN applied to the key (LWW authority),
+* ``row_version``    — count of change events ever applied to the key,
+* ``content_sha256`` — per-row content hash (input_hint invariant),
+  computed with the JVM ``sha2`` built-in and only on rows whose content
+  actually changed (carried-forward rows keep their stored hash),
+* ``_deleted``       — tombstone flag. Deleted keys keep a tombstone row
+  (payload nulls + last_lsn) so stale pre-delete events arriving in later
+  batches are recognized and ignored; ``cdc/compaction.py`` physically
+  drops old tombstones.
+
+Semantics vs target, per key with a folded action ``s`` and existing row
+``t`` (all expressed as one joined ``select`` — no per-row Python):
+
+* no ``t``                      → INSERT (or tombstone if the action is a
+                                  delete — guards stale events for keys
+                                  never seen),
+* ``s._max_lsn <= t.last_lsn``  → stale replay, keep ``t``,
+* ``s._is_delete``              → tombstone,
+* otherwise per payload column ``c``: take ``s.c`` when its last non-null
+  write is newer than everything in ``t`` (``s.c_lsn > t.last_lsn``) or the
+  base is dead (``t`` is a tombstone, or the batch contains a delete newer
+  than ``t``); else keep ``t.c`` — this is the column-granular non-null-wins
+  of the reference (``pyspark_interface.py:45-48``) made LSN-deterministic.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from etl_kafka_project_spark.cdc.envelope import PAYLOAD_FIELDS
+from etl_kafka_project_spark.cdc.fold import NEVER, fold_batch
+from etl_kafka_project_spark.config import EngineConfig
+from etl_kafka_project_spark.functions.hashing import sha256_builtin
+from etl_kafka_project_spark.minilake.table import LakeTable
+
+META_FIELDS = [
+    T.StructField("content_sha256", T.StringType(), True),
+    T.StructField("last_lsn", T.LongType(), False),
+    T.StructField("row_version", T.LongType(), False),
+    T.StructField("_deleted", T.BooleanType(), False),
+]
+
+
+def table_schema(payload_fields: list[T.StructField] | None = None) -> T.StructType:
+    """Stored schema = input_hint payload + merge meta columns."""
+    fields = list(payload_fields or PAYLOAD_FIELDS)
+    # payload columns are nullable in storage (tombstones null them out)
+    fields = [T.StructField(f.name, f.dataType, True) for f in fields]
+    return T.StructType(fields + META_FIELDS)
+
+
+def create_code_table(
+    spark: SparkSession, root: str, config: EngineConfig | None = None
+) -> LakeTable:
+    config = (config or EngineConfig()).validate()
+    return LakeTable.create(
+        spark,
+        root,
+        schema=table_schema(),
+        key_columns=list(config.key_columns),
+        n_buckets=config.n_buckets,
+    )
+
+
+@dataclass
+class MergeStats:
+    epoch_id: int | None
+    events_in: int
+    keys: int
+    upserts: int
+    deletes: int
+    touched_buckets: int
+    wall_ms: float
+    per_bucket: list[dict]
+    snapshot_version: int | None = None
+    skipped: bool = False
+
+
+def merge_folded(
+    table: LakeTable,
+    folded: DataFrame,
+    config: EngineConfig,
+    epoch: tuple[str, int] | None = None,
+    events_in: int = -1,
+) -> MergeStats:
+    """MERGE a folded batch (output of ``fold_batch``) into the table."""
+    t0 = time.time()
+    snap = table.snapshot()
+    key_cols = snap.props["key_columns"]
+    payload_cols = [
+        f.name
+        for f in snap.schema.fields
+        if f.name not in key_cols and f.name not in {m.name for m in META_FIELDS}
+    ]
+
+    folded = folded.withColumn("_bucket", table.bucket_expr(snap))
+    folded.persist()
+    try:
+        # One small job yields BOTH the touched-bucket set (partition
+        # pruning) and per-bucket lineage stats (cdc/metrics.py).
+        bucket_rows = (
+            folded.groupBy("_bucket")
+            .agg(
+                F.count(F.lit(1)).alias("keys"),
+                F.sum(F.col("_is_delete").cast("long")).alias("deletes"),
+                F.sum("_applied").alias("events"),
+                F.min("_max_lsn").alias("min_lsn"),
+                F.max("_max_lsn").alias("max_lsn"),
+            )
+            .collect()
+        )
+        per_bucket = [r.asDict() for r in bucket_rows]
+        touched = {r["_bucket"] for r in bucket_rows}
+        n_keys = sum(r["keys"] for r in bucket_rows)
+        n_deletes = sum(r["deletes"] for r in bucket_rows)
+
+        if not touched:
+            return MergeStats(
+                epoch_id=epoch[1] if epoch else None,
+                events_in=events_in,
+                keys=0,
+                upserts=0,
+                deletes=0,
+                touched_buckets=0,
+                wall_ms=(time.time() - t0) * 1000,
+                per_bucket=[],
+                snapshot_version=snap.version,
+                skipped=False,
+            )
+
+        target = table.read(buckets=touched, include_tombstones=True).alias("t")
+        src = folded.alias("s")
+        cond = [F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in key_cols]
+        joined = target.join(src, cond, "full_outer")
+
+        s_absent = F.col("s._max_lsn").isNull()
+        t_absent = F.col("t.last_lsn").isNull()
+        stale = ~s_absent & ~t_absent & (F.col("s._max_lsn") <= F.col("t.last_lsn"))
+        keep_t = s_absent | stale
+        tombstone = ~keep_t & F.col("s._is_delete")
+        base_dead = t_absent | F.col("t._deleted") | (
+            F.col("s._last_d_lsn").isNotNull()
+            & (F.col("s._last_d_lsn") > F.col("t.last_lsn"))
+        )
+
+        dtypes = {f.name: f.dataType for f in snap.schema.fields}
+        out: list[F.Column] = []
+        for k in key_cols:
+            out.append(F.coalesce(F.col(f"t.{k}"), F.col(f"s.{k}")).alias(k))
+        for c in payload_cols:
+            upsert_val = F.when(
+                base_dead | (F.col(f"s.{c}_lsn") > F.col("t.last_lsn")), F.col(f"s.{c}")
+            ).otherwise(F.col(f"t.{c}"))
+            out.append(
+                F.when(keep_t, F.col(f"t.{c}"))
+                .when(tombstone, F.lit(None).cast(dtypes[c]))
+                .otherwise(upsert_val)
+                .alias(c)
+            )
+        new_content = (
+            F.when(keep_t | tombstone, F.lit(False))
+            .otherwise(
+                base_dead | (F.col(f"s.content_lsn") > F.col("t.last_lsn"))
+                if "content" in payload_cols
+                else F.lit(False)
+            )
+        )
+        resolved_content = (
+            F.when(
+                base_dead | (F.col("s.content_lsn") > F.col("t.last_lsn")), F.col("s.content")
+            ).otherwise(F.col("t.content"))
+            if "content" in payload_cols
+            else F.lit(None).cast("string")
+        )
+        out.append(
+            F.when(keep_t, F.col("t.content_sha256"))
+            .when(tombstone, F.lit(None).cast("string"))
+            .when(new_content, sha256_builtin(resolved_content))
+            .otherwise(F.col("t.content_sha256"))
+            .alias("content_sha256")
+        )
+        out.append(
+            F.when(keep_t, F.col("t.last_lsn"))
+            .otherwise(F.greatest(F.col("s._max_lsn"), F.coalesce(F.col("t.last_lsn"), F.lit(NEVER))))
+            .alias("last_lsn")
+        )
+        out.append(
+            (
+                F.coalesce(F.col("t.row_version"), F.lit(0))
+                + F.when(keep_t, F.lit(0)).otherwise(F.col("s._applied"))
+            ).alias("row_version")
+        )
+        out.append(
+            F.when(keep_t, F.col("t._deleted")).otherwise(tombstone).alias("_deleted")
+        )
+        resolved = joined.select(*out).withColumn("_bucket", table.bucket_expr(snap))
+
+        new_files = table.write_data_files(resolved, bucket_col="_bucket")
+        committed = table.commit(
+            expected_version=snap.version,
+            new_files=new_files,
+            replaced_buckets=touched,
+            epoch=epoch,
+        )
+    finally:
+        folded.unpersist()
+
+    return MergeStats(
+        epoch_id=epoch[1] if epoch else None,
+        events_in=events_in,
+        keys=n_keys,
+        upserts=n_keys - n_deletes,
+        deletes=n_deletes,
+        touched_buckets=len(touched),
+        wall_ms=(time.time() - t0) * 1000,
+        per_bucket=per_bucket,
+        snapshot_version=committed.version,
+        skipped=False,
+    )
+
+
+def merge_events(
+    table: LakeTable,
+    events: DataFrame,
+    config: EngineConfig,
+    epoch: tuple[str, int] | None = None,
+    salt: int | None = None,
+) -> MergeStats:
+    """fold + merge in one call (the foreachBatch body, minus idempotence
+    which lives in ``cdc/stream.py``)."""
+    snap = table.snapshot()
+    key_cols = snap.props["key_columns"]
+    payload_cols = [
+        f.name
+        for f in snap.schema.fields
+        if f.name not in key_cols and f.name not in {m.name for m in META_FIELDS}
+    ]
+    folded = fold_batch(
+        events,
+        key_columns=key_cols,
+        payload_columns=payload_cols,
+        lsn_col=config.lsn_column,
+        op_col=config.op_column,
+        salt=salt,
+    )
+    return merge_folded(table, folded, config, epoch=epoch)

@@ -1,0 +1,52 @@
+"""Engine configuration.
+
+The analog of the reference's startup config-validation gate
+(``utils/config.py:52-137``): every run validates its knobs up front and
+fails fast with a typed error instead of mid-stream.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+class ConfigError(ValueError):
+    """Raised when an EngineConfig fails validation (ref utils/exceptions.py)."""
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    """Knobs for the CDC apply pipeline.
+
+    ``n_buckets`` is the lake table's hash-bucket count on the primary key
+    ``(repo, path)`` — the Iceberg ``bucket(N, ...)`` partition-transform
+    analog. At 100 TB / 1000 executors this would be in the thousands; in
+    the 32-core sandbox the default 32 keeps one bucket per core.
+
+    ``hot_key_threshold`` is the per-batch event count above which a key is
+    treated as skewed and folded via the two-phase salted aggregation
+    (``cdc/fold.py``); ``salt_buckets`` is the fan-out of phase one.
+    """
+
+    key_columns: tuple[str, ...] = ("repo", "path")
+    lsn_column: str = "lsn"
+    op_column: str = "op"
+    n_buckets: int = 32
+    hot_key_threshold: int = 100_000
+    salt_buckets: int = 16
+    tombstone_retention_epochs: int = 10
+    target_file_rows: int = 2_000_000
+    extra: dict = field(default_factory=dict)
+
+    def validate(self) -> "EngineConfig":
+        if not self.key_columns:
+            raise ConfigError("key_columns must be non-empty")
+        if self.n_buckets < 1:
+            raise ConfigError(f"n_buckets must be >= 1, got {self.n_buckets}")
+        if self.salt_buckets < 1:
+            raise ConfigError(f"salt_buckets must be >= 1, got {self.salt_buckets}")
+        if self.hot_key_threshold < 1:
+            raise ConfigError("hot_key_threshold must be >= 1")
+        if self.lsn_column in self.key_columns or self.op_column in self.key_columns:
+            raise ConfigError("lsn/op columns cannot be key columns")
+        return self

@@ -1,0 +1,58 @@
+"""SparkSession factory for the engine.
+
+Replaces the reference's hand-rolled singleton session
+(``utils/interfaces/pyspark_interface.py:20-31``, ``utils/singleton.py:1-22``)
+with ``SparkSession.builder.getOrCreate()`` plus the configs that matter for
+a CDC merge workload: AQE (runtime re-plan + skew-join splitting), Arrow for
+pandas-UDF transfer, UTC session timezone (so DuckDB-oracle comparisons are
+stable), and shuffle partitions sized to cores rather than the default 200.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = 32
+
+
+def build_session(
+    master: str | None = None,
+    app_name: str = "etl_kafka_project_spark",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Create (or get) a SparkSession tuned for the CDC engine.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env) or
+    ``local[*]``. In local mode the only memory knob that matters is
+    ``spark.driver.memory``; we leave it to the caller / spark-submit so the
+    same code runs unchanged on a real cluster via ``spark-submit
+    --py-files`` (north rule).
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        master = f"local[{cpus}]" if cpus else "local[*]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(
+            os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", DEFAULT_SHUFFLE_PARTITIONS)
+        )
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.compression.codec", "snappy")
+        .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

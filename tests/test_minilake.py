@@ -1,0 +1,98 @@
+"""minilake LakeTable: snapshots, atomic commit, bucket pruning, evolution."""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from etl_kafka_project_spark.minilake.table import LakeTable, SnapshotConflictError
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("repo", T.StringType(), True),
+        T.StructField("path", T.StringType(), True),
+        T.StructField("n", T.IntegerType(), True),
+    ]
+)
+
+
+def _mk(spark, root):
+    return LakeTable.create(spark, root, SCHEMA, key_columns=["repo", "path"], n_buckets=4)
+
+
+def test_create_empty_and_read(spark, tmp_table_dir):
+    t = _mk(spark, tmp_table_dir)
+    assert t.current_version() == 0
+    assert t.read().count() == 0
+    assert t.read().schema == SCHEMA
+
+
+def test_write_commit_read_roundtrip(spark, tmp_table_dir):
+    t = _mk(spark, tmp_table_dir)
+    df = spark.createDataFrame([("r1", "a", 1), ("r2", "b", 2)], SCHEMA)
+    files = t.write_data_files(df.withColumn("_bucket", t.bucket_expr()))
+    snap = t.commit(0, new_files=files)
+    assert snap.version == 1
+    got = {(r.repo, r.path, r.n) for r in t.read().collect()}
+    assert got == {("r1", "a", 1), ("r2", "b", 2)}
+
+
+def test_bucket_pruning_reads_subset(spark, tmp_table_dir):
+    t = _mk(spark, tmp_table_dir)
+    rows = [(f"r{i}", f"p{i}", i) for i in range(20)]
+    df = spark.createDataFrame(rows, SCHEMA)
+    files = t.write_data_files(df.withColumn("_bucket", t.bucket_expr()))
+    t.commit(0, new_files=files)
+    # bucket of one known key
+    b = (
+        spark.createDataFrame([("r3", "p3", 3)], SCHEMA)
+        .select(t.bucket_expr().alias("b"))
+        .collect()[0]["b"]
+    )
+    sub = t.read(buckets={b})
+    keys = {(r.repo, r.path) for r in sub.collect()}
+    assert ("r3", "p3") in keys
+    assert len(keys) < 20  # actually pruned
+
+
+def test_optimistic_concurrency(spark, tmp_table_dir):
+    t = _mk(spark, tmp_table_dir)
+    with pytest.raises(SnapshotConflictError):
+        t.commit(expected_version=5)
+
+
+def test_epoch_idempotence_bookkeeping(spark, tmp_table_dir):
+    t = _mk(spark, tmp_table_dir)
+    t.commit(0, epoch=("s1", 0))
+    assert t.snapshot().has_epoch("s1", 0)
+    assert not t.snapshot().has_epoch("s1", 1)
+    with pytest.raises(SnapshotConflictError):
+        t.commit(1, epoch=("s1", 0))
+
+
+def test_time_travel(spark, tmp_table_dir):
+    t = _mk(spark, tmp_table_dir)
+    df = spark.createDataFrame([("r1", "a", 1)], SCHEMA)
+    t.commit(0, new_files=t.write_data_files(df.withColumn("_bucket", t.bucket_expr())))
+    df2 = spark.createDataFrame([("r2", "b", 2)], SCHEMA)
+    t.commit(1, new_files=t.write_data_files(df2.withColumn("_bucket", t.bucket_expr())))
+    assert t.read(version=1).count() == 1
+    assert t.read(version=2).count() == 2
+
+
+def test_schema_evolution_add_and_widen(spark, tmp_table_dir):
+    t = _mk(spark, tmp_table_dir)
+    df = spark.createDataFrame([("r1", "a", 1)], SCHEMA)
+    t.commit(0, new_files=t.write_data_files(df.withColumn("_bucket", t.bucket_expr())))
+    evolved = T.StructType(
+        [
+            T.StructField("repo", T.StringType(), True),
+            T.StructField("path", T.StringType(), True),
+            T.StructField("n", T.LongType(), True),  # int → long widening
+            T.StructField("author", T.StringType(), True),  # added
+        ]
+    )
+    t.commit(1, schema=evolved)
+    out = t.read()
+    assert dict(out.dtypes)["n"] == "bigint"
+    row = out.collect()[0]
+    assert row.n == 1 and row.author is None
