@@ -114,7 +114,11 @@ def generate_events(spec: StreamSpec) -> pd.DataFrame:
         {
             "lsn": lsn,
             "op": ops,
-            "ts": BASE_TS + pd.to_timedelta(lsn * 10, unit="ms"),
+            # microsecond precision: Spark's vectorized parquet reader maps
+            # TIMESTAMP(MICROS) to TimestampType; nanos would fail the read
+            "ts": (BASE_TS + pd.to_timedelta(lsn * 10, unit="ms")).astype(
+                "datetime64[us, UTC]"
+            ),
             "repo": repo,
             "path": path,
             "commit": commit,

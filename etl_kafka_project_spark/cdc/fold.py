@@ -6,7 +6,10 @@ reference's per-message keyed state surgery (``pyspark_interface.py:38-70``:
 per-event ``filter(key == id)`` + ``withColumn`` per non-null field +
 ``union``). Semantics reproduced, per key, in LSN order:
 
-* ``I``  — full-row insert/replace (events carry full row images),
+* ``I``  — full-row insert/replace: the row becomes exactly the event's
+  payload — columns the event does NOT carry (e.g. a late old-schema
+  writer after an evolution, FIXTURES.md §3) reset to null, implemented
+  as a *reset barrier*: value cells older than the newest I/D die,
 * ``U``  — upsert; **non-null columns win** (column-granular LWW — the
   analog of the reference's "for each non-None field: withColumn",
   ``pyspark_interface.py:45-48``), null columns fall through to the
@@ -32,9 +35,18 @@ skew-tolerant at 100 TB. A two-phase *salted* variant is still provided
 dominating an entire batch AND a wide payload making partial-agg rows
 expensive; correctness is identical because the aggregate is associative.
 
+Cross-batch delivery contract: batches must be LSN-range-disjoint from
+already-committed epochs except for verbatim re-delivery of old events
+(which the merge's staleness guard drops). Within a batch, arbitrary
+disorder is fine — lsn is the authority. Partial interleaving of NEW
+events below a key's applied ``last_lsn`` across different epochs is out
+of contract (the table stores one ``last_lsn`` per key, not one per
+column) — the standard row-sequence LWW contract of lake CDC mergers.
+
 The fold outputs one row per key:
 
-    key..., _max_lsn, _last_d_lsn, _is_delete, _applied, <payload cols>
+    key..., _max_lsn, _last_d_lsn, _last_reset_lsn, _is_delete, _applied,
+    <payload cols>
 
 where ``_is_delete`` means the newest event for the key is a delete and
 ``_applied`` counts events folded (the generalization of the reference's
@@ -86,6 +98,10 @@ def fold_batch(
     # is monotone in lsn: a D row contributes (NEVER, null) which never
     # wins over a real write.
     d_lsn = F.max(F.when(F.col(op_col) == "D", F.col(lsn_col))).alias("_last_d_lsn")
+    # reset barrier: I and D both replace the whole row as of their lsn
+    reset_lsn = F.max(F.when(F.col(op_col).isin("I", "D"), F.col(lsn_col))).alias(
+        "_last_reset_lsn"
+    )
 
     def masked_cell(col: str) -> F.Column:
         live = F.when(F.col(op_col) != "D", F.col(col))
@@ -99,6 +115,7 @@ def fold_batch(
     aggs = [
         F.max(F.col(lsn_col)).alias("_max_lsn"),
         d_lsn,
+        reset_lsn,
         F.count(F.lit(1)).alias("_applied"),
     ] + [masked_cell(c) for c in payload_columns]
 
@@ -114,6 +131,7 @@ def fold_batch(
         final_aggs = [
             F.max("_max_lsn").alias("_max_lsn"),
             F.max("_last_d_lsn").alias("_last_d_lsn"),
+            F.max("_last_reset_lsn").alias("_last_reset_lsn"),
             F.sum("_applied").alias("_applied"),
         ] + [F.max(f"_cell_{c}").alias(f"_cell_{c}") for c in payload_columns]
         folded = partial.groupBy(*key_columns).agg(*final_aggs)
@@ -123,15 +141,20 @@ def fold_batch(
     out_cols: list[F.Column] = [F.col(c) for c in key_columns] + [
         F.col("_max_lsn"),
         F.col("_last_d_lsn"),
+        F.col("_last_reset_lsn"),
         (F.col("_last_d_lsn").isNotNull() & (F.col("_last_d_lsn") == F.col("_max_lsn"))).alias(
             "_is_delete"
         ),
         F.col("_applied"),
     ]
+    # a cell survives if it is newer than the newest delete (strict — a D
+    # erases everything at its lsn) and not older than the newest reset
+    # (>= — an I's own writes share its lsn and survive)
     erased_below = F.coalesce(F.col("_last_d_lsn"), F.lit(NEVER))
+    reset_floor = F.coalesce(F.col("_last_reset_lsn"), F.lit(NEVER))
     for c in payload_columns:
         cell = F.col(f"_cell_{c}")
-        alive = cell["l"] > erased_below
+        alive = (cell["l"] > erased_below) & (cell["l"] >= reset_floor)
         out_cols.append(F.when(alive, cell["v"]).alias(c))
         out_cols.append(F.when(alive, cell["l"]).otherwise(F.lit(NEVER)).alias(f"{c}_lsn"))
     return folded.select(*out_cols)

@@ -36,9 +36,12 @@ Semantics vs target, per key with a folded action ``s`` and existing row
 * ``s._is_delete``              → tombstone,
 * otherwise per payload column ``c``: take ``s.c`` when its last non-null
   write is newer than everything in ``t`` (``s.c_lsn > t.last_lsn``) or the
-  base is dead (``t`` is a tombstone, or the batch contains a delete newer
-  than ``t``); else keep ``t.c`` — this is the column-granular non-null-wins
-  of the reference (``pyspark_interface.py:45-48``) made LSN-deterministic.
+  base is dead (``t`` is a tombstone, or the batch contains a RESET — an
+  ``I`` full-replace or a ``D`` — newer than ``t``); else keep ``t.c`` —
+  this is the column-granular non-null-wins of the reference
+  (``pyspark_interface.py:45-48``) made LSN-deterministic, with ``I``
+  restored to full-row-replace semantics (a late old-schema insert nulls
+  out evolved columns it doesn't carry).
 """
 
 from __future__ import annotations
@@ -53,6 +56,7 @@ from pyspark.sql import types as T
 from etl_kafka_project_spark.cdc.envelope import PAYLOAD_FIELDS
 from etl_kafka_project_spark.cdc.fold import NEVER, fold_batch
 from etl_kafka_project_spark.config import EngineConfig
+from etl_kafka_project_spark.cdc.salting import plan_write_splits, salted_repartition
 from etl_kafka_project_spark.functions.hashing import sha256_builtin
 from etl_kafka_project_spark.minilake.table import LakeTable
 
@@ -161,9 +165,13 @@ def merge_folded(
         stale = ~s_absent & ~t_absent & (F.col("s._max_lsn") <= F.col("t.last_lsn"))
         keep_t = s_absent | stale
         tombstone = ~keep_t & F.col("s._is_delete")
+        # the target's payload is irrelevant when the key was never seen,
+        # is tombstoned, or the batch contains a RESET (I full-replace or
+        # D) newer than everything applied — I-as-reset is what makes a
+        # late old-schema insert null out evolved columns (FIXTURES §3)
         base_dead = t_absent | F.col("t._deleted") | (
-            F.col("s._last_d_lsn").isNotNull()
-            & (F.col("s._last_d_lsn") > F.col("t.last_lsn"))
+            F.col("s._last_reset_lsn").isNotNull()
+            & (F.col("s._last_reset_lsn") > F.col("t.last_lsn"))
         )
 
         dtypes = {f.name: f.dataType for f in snap.schema.fields}
@@ -218,6 +226,19 @@ def merge_folded(
         )
         resolved = joined.select(*out).withColumn("_bucket", table.bucket_expr(snap))
 
+        # Skew-aware write layout: expected rows per touched bucket are
+        # KNOWN (parent snapshot file stats + this batch's folded keys),
+        # so hot buckets fan out across write tasks deterministically
+        # (cdc/salting.py) instead of serializing into one giant file.
+        expected_rows = {b: 0 for b in touched}
+        for fe in snap.files:
+            if fe.bucket in expected_rows:
+                expected_rows[fe.bucket] += fe.rows
+        for r in per_bucket:
+            expected_rows[r["_bucket"]] += r["keys"]
+        splits = plan_write_splits(expected_rows, config.target_file_rows)
+        resolved = salted_repartition(resolved, key_cols, splits, bucket_col="_bucket")
+
         new_files = table.write_data_files(resolved, bucket_col="_bucket")
         committed = table.commit(
             expected_version=snap.version,
@@ -251,6 +272,8 @@ def merge_events(
 ) -> MergeStats:
     """fold + merge in one call (the foreachBatch body, minus idempotence
     which lives in ``cdc/stream.py``)."""
+    from etl_kafka_project_spark.cdc.evolution import align_events
+
     snap = table.snapshot()
     key_cols = snap.props["key_columns"]
     payload_cols = [
@@ -258,6 +281,7 @@ def merge_events(
         for f in snap.schema.fields
         if f.name not in key_cols and f.name not in {m.name for m in META_FIELDS}
     ]
+    events = align_events(events, snap.schema)
     folded = fold_batch(
         events,
         key_columns=key_cols,

@@ -1,0 +1,172 @@
+"""Structured Streaming binlog tail → exactly-once lake MERGE.
+
+Replaces the reference's consumer poll loop (``kafka_interface.py:47-81``:
+``poll(1.0)`` → ``json.loads`` → per-message callback → ``commit()``) with
+ONE streaming query: a file-source tail of ordered binlog segments (the
+sandbox stand-in for ``format("kafka")`` — swap the reader, keep the body),
+``foreachBatch`` applying each micro-batch as a single vectorized MERGE.
+
+Exactly-once (north rule), two cooperating mechanisms:
+
+* Spark's checkpoint (``checkpointLocation``) makes epoch ids stable
+  across restarts — a batch that failed mid-apply is retried with the
+  SAME epoch id;
+* the lake table records ``committed_epochs`` inside the same atomic
+  snapshot commit as the data (``minilake/table.py``), so the retry of an
+  already-committed epoch is detected and skipped — the analog of the
+  reference's commit-after-process + idempotent keyed sink
+  (``kafka_interface.py:74`` + ``redis_interface.py:58``), but actually
+  atomic instead of approximately so.
+
+Per-epoch flow: idempotence check → dead-letter split (envelope
+validation, ``cdc/envelope.py``) → schema evolution (``cdc/evolution.py``)
+→ fold + MERGE (``cdc/fold.py``/``cdc/merge.py``) → lineage document next
+to the checkpoint (``cdc/metrics.py``).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+
+from etl_kafka_project_spark.cdc.envelope import EVENT_SCHEMA, split_dead_letters
+from etl_kafka_project_spark.cdc.evolution import evolve_table
+from etl_kafka_project_spark.cdc.merge import MergeStats, merge_events
+from etl_kafka_project_spark.cdc.metrics import LineageLog
+from etl_kafka_project_spark.config import EngineConfig
+from etl_kafka_project_spark.minilake.table import LakeTable
+
+
+@dataclass
+class ReplayJob:
+    """Configuration + state of one binlog-replay streaming query."""
+
+    table_root: str
+    stream_dir: str
+    checkpoint_dir: str
+    config: EngineConfig = field(default_factory=EngineConfig)
+    stream_id: str = "replay"
+    event_schema: T.StructType = field(default_factory=lambda: EVENT_SCHEMA)
+    max_files_per_trigger: int | None = None
+    salt: int | None = None
+    #: filled as epochs apply (driver-side; one entry per foreachBatch call)
+    applied: list[MergeStats] = field(default_factory=list)
+
+    @property
+    def dead_letter_dir(self) -> str:
+        return os.path.join(self.checkpoint_dir, "dead_letters")
+
+    @property
+    def lineage_dir(self) -> str:
+        return os.path.join(self.checkpoint_dir, "lineage")
+
+    # ---------- the foreachBatch body ----------
+
+    def apply_epoch(self, batch_df: DataFrame, epoch_id: int) -> MergeStats:
+        """Apply one micro-batch exactly once. Public so batch-mode
+        replays and tests can drive it without a streaming query."""
+        spark = batch_df.sparkSession
+        table = LakeTable(spark, self.table_root)
+        lineage = LineageLog(self.lineage_dir, self.stream_id)
+
+        if table.snapshot().has_epoch(self.stream_id, epoch_id):
+            # crash-resume retry of a committed epoch: exactly-once skip
+            stats = MergeStats(
+                epoch_id=epoch_id, events_in=0, keys=0, upserts=0, deletes=0,
+                touched_buckets=0, wall_ms=0.0, per_bucket=[], skipped=True,
+                snapshot_version=table.current_version(),
+            )
+            lineage.record(stats, skipped=True)
+            self.applied.append(stats)
+            return stats
+
+        valid, dead = split_dead_letters(batch_df)
+        dead_counts = {
+            r["_dead_reason"]: r["n"]
+            for r in dead.groupBy("_dead_reason").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        if dead_counts:
+            # idempotent per-epoch dead-letter quarantine (overwrite by epoch)
+            dead.write.mode("overwrite").parquet(
+                os.path.join(self.dead_letter_dir, f"epoch={epoch_id}")
+            )
+
+        # additive/widening schema evolution BEFORE the merge; its commit
+        # is idempotent (re-diff after crash is empty), so it can sit
+        # outside the epoch-stamped data commit safely
+        evolve_table(table, valid.schema)
+
+        n_valid = valid.count()
+        stats = merge_events(
+            table,
+            valid,
+            self.config,
+            epoch=(self.stream_id, epoch_id),
+            salt=self.salt,
+        )
+        stats.events_in = n_valid
+        lineage.record(stats, dead_letters=dead_counts)
+        self.applied.append(stats)
+        return stats
+
+    # ---------- streaming query ----------
+
+    def start(self, spark: SparkSession, available_now: bool = True) -> StreamingQuery:
+        """Start the streaming tail of ``stream_dir``.
+
+        ``availableNow`` processes the current backlog then stops (the
+        replay shape); pass ``available_now=False`` for a continuous tail.
+        ``maxFilesPerTrigger`` bounds epoch size — the analog of the
+        reference's bounded drain (``kafka_interface.py:83-109``).
+        """
+        reader = spark.readStream.schema(self.event_schema)
+        if self.max_files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger", self.max_files_per_trigger)
+        events = reader.parquet(self.stream_dir)
+        writer = (
+            events.writeStream.queryName(f"cdc-{self.stream_id}")
+            .option("checkpointLocation", os.path.join(self.checkpoint_dir, "spark"))
+            .foreachBatch(lambda df, eid: self.apply_epoch(df, eid))
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+    def run(self, spark: SparkSession, timeout_s: float | None = None) -> list[MergeStats]:
+        """start + await: replay the whole backlog, return per-epoch stats."""
+        q = self.start(spark, available_now=True)
+        q.awaitTermination(timeout_s)
+        if q.isActive:
+            q.stop()
+        if q.exception() is not None:
+            raise q.exception()
+        return self.applied
+
+
+def run_replay(
+    spark: SparkSession,
+    table_root: str,
+    stream_dir: str,
+    checkpoint_dir: str,
+    config: EngineConfig | None = None,
+    stream_id: str = "replay",
+    event_schema: T.StructType | None = None,
+    max_files_per_trigger: int | None = None,
+) -> list[MergeStats]:
+    """One-call replay: tail ``stream_dir`` into the table at
+    ``table_root`` until the backlog drains (availableNow)."""
+    job = ReplayJob(
+        table_root=table_root,
+        stream_dir=stream_dir,
+        checkpoint_dir=checkpoint_dir,
+        config=(config or EngineConfig()).validate(),
+        stream_id=stream_id,
+        event_schema=event_schema or EVENT_SCHEMA,
+        max_files_per_trigger=max_files_per_trigger,
+    )
+    return job.run(spark)

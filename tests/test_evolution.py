@@ -1,0 +1,119 @@
+"""Schema evolution: additive columns, safe widenings, incompatible
+rejection, and the late-old-writer LWW interaction (FIXTURES.md §3)."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import types as T
+
+from etl_kafka_project_spark.cdc.envelope import EVENT_SCHEMA
+from etl_kafka_project_spark.cdc.evolution import (
+    align_events,
+    diff_schemas,
+    evolve_table,
+    evolved_schema,
+)
+from etl_kafka_project_spark.cdc.fixtures import StreamSpec, generate_events
+from etl_kafka_project_spark.cdc.merge import create_code_table, merge_events, table_schema
+from etl_kafka_project_spark.cdc.oracle import replay_oracle
+from etl_kafka_project_spark.config import EngineConfig
+
+CFG = EngineConfig(n_buckets=8)
+
+EVOLVED_EVENT_SCHEMA = T.StructType(
+    EVENT_SCHEMA.fields
+    + [T.StructField("author", T.StringType(), True), T.StructField("size", T.LongType(), True)]
+)
+
+
+def test_diff_additive_widening_incompatible():
+    base = table_schema()
+    batch = T.StructType(
+        [
+            T.StructField("lsn", T.LongType()),
+            T.StructField("op", T.StringType()),
+            T.StructField("repo", T.StringType()),
+            T.StructField("path", T.StringType()),
+            T.StructField("author", T.StringType()),  # additive
+            T.StructField("lang", T.IntegerType()),  # string→int: incompatible
+        ]
+    )
+    plan = diff_schemas(base, batch)
+    assert [f.name for f in plan.added] == ["author"]
+    assert plan.incompatible == [("lang", T.StringType(), T.IntegerType())]
+
+    # widening: stored int, batch long
+    narrow = T.StructType([T.StructField("k", T.StringType()), T.StructField("n", T.IntegerType())])
+    wide = T.StructType([T.StructField("n", T.LongType())])
+    plan2 = diff_schemas(narrow, wide)
+    assert plan2.widened == [("n", T.IntegerType(), T.LongType())]
+    out = evolved_schema(narrow, plan2)
+    assert dict((f.name, f.dataType) for f in out.fields)["n"] == T.LongType()
+
+    # batch NARROWER than table: no change needed
+    plan3 = diff_schemas(
+        T.StructType([T.StructField("n", T.LongType())]),
+        T.StructType([T.StructField("n", T.IntegerType())]),
+    )
+    assert not plan3.changes_schema and not plan3.incompatible
+
+
+def test_evolve_table_is_idempotent(spark, tmp_table_dir):
+    table = create_code_table(spark, tmp_table_dir, CFG)
+    v0 = table.current_version()
+    snap, plan = evolve_table(table, EVOLVED_EVENT_SCHEMA)
+    assert plan.changes_schema and snap.version == v0 + 1
+    names = [f.name for f in snap.schema.fields]
+    assert "author" in names and "size" in names
+    # meta columns stay trailing
+    assert names[-4:] == ["content_sha256", "last_lsn", "row_version", "_deleted"]
+    # re-diff after crash: no-op
+    snap2, plan2 = evolve_table(table, EVOLVED_EVENT_SCHEMA)
+    assert not plan2.changes_schema and snap2.version == snap.version
+
+
+def test_mid_stream_evolution_with_late_old_writer(spark, tmp_table_dir):
+    """old-schema batches → evolved batches → a late old-writer batch;
+    final state must match the oracle replay of the full evolved log."""
+    spec = StreamSpec(n_events=900, n_keys=120, min_lines=2, max_lines=3, evolve_after_lsn=300)
+    events = generate_events(spec)
+    table = create_code_table(spark, tmp_table_dir, CFG)
+
+    pre = events[events.lsn <= 300].drop(columns=["author", "size"])
+    evolved = events[(events.lsn > 300) & (events.lsn <= 760)]
+    # late old-writer: events after the cut arriving WITHOUT the new columns
+    late_old = events[events.lsn > 760].drop(columns=["author", "size"])
+
+    merge_events(table, spark.createDataFrame(pre, EVENT_SCHEMA), CFG, epoch=("t", 0))
+    evolve_table(table, EVOLVED_EVENT_SCHEMA)
+    merge_events(table, spark.createDataFrame(evolved, EVOLVED_EVENT_SCHEMA), CFG, epoch=("t", 1))
+    merge_events(table, spark.createDataFrame(late_old, EVENT_SCHEMA), CFG, epoch=("t", 2))
+
+    cols = ["repo", "path", "commit", "lang", "content", "author", "size",
+            "content_sha256", "last_lsn", "row_version"]
+    got = table.read().select(*cols).toPandas().sort_values(["repo", "path"]).reset_index(drop=True)
+
+    # oracle replays the evolved log, but late-old-writer events carried NO
+    # author/size (they were dropped on write) → null those before replay
+    oracle_events = events.copy()
+    oracle_events.loc[oracle_events.lsn > 760, ["author", "size"]] = None
+    want = replay_oracle(oracle_events).reindex(columns=got.columns)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    # evolution happened mid-stream: some rows carry authors, some never did
+    assert got["author"].notna().any()
+
+
+def test_align_events_nullfills_and_casts(spark):
+    table = table_schema(
+        [T.StructField(n, t, True) for n, t in
+         [("repo", T.StringType()), ("path", T.StringType()), ("commit", T.StringType()),
+          ("lang", T.StringType()), ("content", T.StringType()), ("size", T.LongType())]]
+    )
+    ev = spark.createDataFrame(
+        [(1, "I", "r", "p", "c", "x", 3)],
+        "lsn long, op string, repo string, path string, commit string, content string, size int",
+    )
+    out = align_events(ev, table)
+    row = out.first()
+    assert row["lang"] is None and row["size"] == 3
+    assert dict(out.dtypes)["size"] == "bigint"

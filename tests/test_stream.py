@@ -1,0 +1,140 @@
+"""Structured Streaming replay: end-to-end equivalence, exactly-once epoch
+idempotence, kill-and-resume, dead-letter quarantine (SURVEY §5.2.1/4/6)."""
+
+import os
+
+import pandas as pd
+import pytest
+
+from etl_kafka_project_spark.cdc.envelope import EVENT_SCHEMA
+from etl_kafka_project_spark.cdc.fixtures import StreamSpec, generate_stream
+from etl_kafka_project_spark.cdc.merge import create_code_table
+from etl_kafka_project_spark.cdc.metrics import LineageLog
+from etl_kafka_project_spark.cdc.oracle import replay_oracle
+from etl_kafka_project_spark.cdc.stream import ReplayJob
+from etl_kafka_project_spark.config import EngineConfig
+
+CFG = EngineConfig(n_buckets=8)
+
+
+def _final_state_pdf(table):
+    cols = ["repo", "path", "commit", "lang", "content", "content_sha256", "last_lsn", "row_version"]
+    return table.read().select(*cols).toPandas().sort_values(["repo", "path"]).reset_index(drop=True)
+
+
+def _job(tmp_path, **kw):
+    return ReplayJob(
+        table_root=str(tmp_path / "table"),
+        stream_dir=str(tmp_path / "stream"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        config=CFG,
+        **kw,
+    )
+
+
+def test_streaming_replay_matches_oracle(spark, tmp_path):
+    spec = StreamSpec(n_events=1200, n_keys=150, n_segments=6, min_lines=2, max_lines=4)
+    events, _ = generate_stream(str(tmp_path / "stream"), spec)
+    create_code_table(spark, str(tmp_path / "table"), CFG)
+
+    job = _job(tmp_path, max_files_per_trigger=2)
+    stats = job.run(spark)
+    assert len(stats) >= 3  # bounded triggers → multiple epochs
+    assert all(not s.skipped for s in stats)
+
+    got = _final_state_pdf(_open(spark, job))
+    want = replay_oracle(events).reindex(columns=got.columns)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    # lineage: one doc per epoch, events_in sums to events incl. duplicates
+    docs = LineageLog(job.lineage_dir, job.stream_id).read_all()
+    assert len(docs) == len(stats)
+    assert all(d["events_per_sec"] is not None for d in docs if d["events_in"])
+
+
+def _open(spark, job):
+    from etl_kafka_project_spark.minilake.table import LakeTable
+
+    return LakeTable(spark, job.table_root)
+
+
+def test_epoch_replay_is_skipped(spark, tmp_path):
+    """Crash-retry of a committed epoch must be a no-op (exactly-once)."""
+    spec = StreamSpec(n_events=300, n_keys=40, n_segments=2, min_lines=2, max_lines=3)
+    events, segs = generate_stream(str(tmp_path / "stream"), spec)
+    create_code_table(spark, str(tmp_path / "table"), CFG)
+    job = _job(tmp_path)
+
+    batch = spark.read.schema(EVENT_SCHEMA).parquet(segs[0])
+    s1 = job.apply_epoch(batch, 0)
+    assert not s1.skipped
+    before = _final_state_pdf(_open(spark, job))
+    v_before = _open(spark, job).current_version()
+
+    s2 = job.apply_epoch(batch, 0)  # simulated foreachBatch retry
+    assert s2.skipped
+    assert _open(spark, job).current_version() == v_before
+    pd.testing.assert_frame_equal(before, _final_state_pdf(_open(spark, job)))
+
+
+def test_kill_and_resume(spark, tmp_path):
+    """Stop the stream mid-replay, restart from checkpoint: no lost or
+    duplicated effects; final state equals the oracle."""
+    spec = StreamSpec(n_events=1000, n_keys=120, n_segments=8, min_lines=2, max_lines=3)
+    events, _ = generate_stream(str(tmp_path / "stream"), spec)
+    create_code_table(spark, str(tmp_path / "table"), CFG)
+
+    # phase 1: apply only part of the backlog, then "crash"
+    job1 = _job(tmp_path, max_files_per_trigger=2)
+    q = job1.start(spark, available_now=True)
+    while q.isActive and len(job1.applied) < 2:
+        q.awaitTermination(0.2)
+    q.stop()
+    q.awaitTermination()
+    applied_before = len(job1.applied)
+    assert 0 < applied_before  # partial progress happened
+
+    # phase 2: fresh driver object, same checkpoint → resume
+    job2 = _job(tmp_path, max_files_per_trigger=2)
+    job2.run(spark)
+
+    got = _final_state_pdf(_open(spark, job2))
+    want = replay_oracle(events).reindex(columns=got.columns)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    # row_version is the per-key applied-event count: any double-apply
+    # would inflate it past the oracle's — already covered by frame
+    # equality, spelled out here for the kill-resume contract
+    assert got["row_version"].sum() == want["row_version"].sum()
+
+
+def test_dead_letters_quarantined(spark, tmp_path):
+    spec = StreamSpec(n_events=200, n_keys=30, n_segments=1, dup_rate=0.0, min_lines=2, max_lines=3)
+    events, _ = generate_stream(str(tmp_path / "stream"), spec)
+    create_code_table(spark, str(tmp_path / "table"), CFG)
+    job = _job(tmp_path)
+
+    corrupt = pd.DataFrame(
+        {
+            "lsn": pd.array([None, 99991, 99992, 99993], dtype="Int64"),
+            "op": ["I", "X", "I", "I"],
+            "ts": pd.Timestamp("2024-01-01", tz="UTC"),
+            "repo": ["r", "r", None, "r"],
+            "path": ["p", "p", "p", "p"],
+            "commit": ["c"] * 4,
+            "lang": ["py"] * 4,
+            "content": ["x", "x", "x", None],
+        }
+    )
+    noisy = pd.concat([events, corrupt], ignore_index=True)
+    stats = job.apply_epoch(spark.createDataFrame(noisy, EVENT_SCHEMA), 0)
+    assert stats.events_in == len(events)
+
+    dead = spark.read.parquet(os.path.join(job.dead_letter_dir, "epoch=0"))
+    reasons = {r["_dead_reason"] for r in dead.select("_dead_reason").collect()}
+    assert reasons == {"null_lsn", "bad_op", "null_key", "null_content"}
+    assert dead.count() == 4
+
+    got = _final_state_pdf(_open(spark, job))
+    want = replay_oracle(events).reindex(columns=got.columns)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
