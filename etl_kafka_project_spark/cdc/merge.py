@@ -46,6 +46,7 @@ Semantics vs target, per key with a folded action ``s`` and existing row
 
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass
 
@@ -109,8 +110,17 @@ def merge_folded(
     config: EngineConfig,
     epoch: tuple[str, int] | None = None,
     events_in: int = -1,
+    changelog_dir: str | None = None,
 ) -> MergeStats:
-    """MERGE a folded batch (output of ``fold_batch``) into the table."""
+    """MERGE a folded batch (output of ``fold_batch``) into the table.
+
+    ``changelog_dir``: if set (and an epoch id is given), the batch's
+    resolved per-key actions are appended as an outbound change feed —
+    the analog of the reference's Redis pub/sub ``movie_updates`` channel
+    (``redis_interface.py:121-123``), consumable batch or streaming
+    (``serving.py``). Written idempotently per epoch (overwrite) BEFORE
+    the data commit, so a crash-retry regenerates identical content.
+    """
     t0 = time.time()
     snap = table.snapshot()
     key_cols = snap.props["key_columns"]
@@ -153,6 +163,17 @@ def merge_folded(
                 per_bucket=[],
                 snapshot_version=snap.version,
                 skipped=False,
+            )
+
+        if changelog_dir is not None and epoch is not None:
+            feed = folded.select(
+                *key_cols,
+                F.when(F.col("_is_delete"), F.lit("D")).otherwise(F.lit("U")).alias("op"),
+                F.col("_max_lsn").alias("lsn"),
+                *payload_cols,
+            )
+            feed.write.mode("overwrite").parquet(
+                os.path.join(changelog_dir, f"epoch={epoch[1]}")
             )
 
         target = table.read(buckets=touched, include_tombstones=True).alias("t")
@@ -269,6 +290,7 @@ def merge_events(
     config: EngineConfig,
     epoch: tuple[str, int] | None = None,
     salt: int | None = None,
+    changelog_dir: str | None = None,
 ) -> MergeStats:
     """fold + merge in one call (the foreachBatch body, minus idempotence
     which lives in ``cdc/stream.py``)."""
@@ -290,4 +312,4 @@ def merge_events(
         op_col=config.op_column,
         salt=salt,
     )
-    return merge_folded(table, folded, config, epoch=epoch)
+    return merge_folded(table, folded, config, epoch=epoch, changelog_dir=changelog_dir)

@@ -57,9 +57,17 @@ class ReplayJob:
     #: filled as epochs apply (driver-side; one entry per foreachBatch call)
     applied: list[MergeStats] = field(default_factory=list)
 
+    #: emit an outbound change feed (reference Redis pub/sub analog,
+    #: ``redis_interface.py:121-123``) under <table_root>/changelog
+    emit_changelog: bool = True
+
     @property
     def dead_letter_dir(self) -> str:
         return os.path.join(self.checkpoint_dir, "dead_letters")
+
+    @property
+    def changelog_dir(self) -> str:
+        return os.path.join(self.table_root, "changelog")
 
     @property
     def lineage_dir(self) -> str:
@@ -108,6 +116,7 @@ class ReplayJob:
             self.config,
             epoch=(self.stream_id, epoch_id),
             salt=self.salt,
+            changelog_dir=self.changelog_dir if self.emit_changelog else None,
         )
         stats.events_in = n_valid
         lineage.record(stats, dead_letters=dead_counts)

@@ -125,7 +125,11 @@ class LakeTable:
         props: dict | None = None,
     ) -> "LakeTable":
         """CREATE TABLE: empty snapshot v0 (ref empty-state bootstrap,
-        ``pyspark_interface.py:34``)."""
+        ``pyspark_interface.py:34``). Refuses to clobber an existing
+        table — resetting VERSION under a live checkpoint would silently
+        empty the table (Iceberg CREATE TABLE semantics)."""
+        if cls.exists(root):
+            raise FileExistsError(f"table already exists at {root}")
         os.makedirs(os.path.join(root, "snapshots"), exist_ok=True)
         os.makedirs(os.path.join(root, "data"), exist_ok=True)
         table = cls(spark, root)

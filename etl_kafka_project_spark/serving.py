@@ -1,0 +1,127 @@
+"""Query surface over lake snapshots — the engine's analog of the
+reference's GraphQL-over-RediSearch serving path (EP3: ``run/server.py``,
+``graphql_interface.py:17-63``, ``redis_interface.py:101-119``).
+
+Reference semantics reproduced:
+
+* **conjunctive multi-field search** — every GraphQL kwarg became an
+  AND-ed RediSearch term (``graphql_interface.py:33-39``); here each
+  requested field becomes an AND-ed DataFrame predicate over the latest
+  snapshot, and Catalyst pushes the predicates into the parquet scan,
+* **multi-value args** — a ``"v1, v2"`` argument was split on ``', '``
+  into multiple required terms (``graphql_interface.py:36``); same here,
+* **text vs tag fields** — RediSearch TextFields matched tokens,
+  TagFields matched exact tags (``utils/schemas.py:7-16``); mapped to
+  ``contains`` (token-ish) vs exact-term-in-CSV-string matching,
+* **pagination** — ``LIMIT offset, limit`` default (0, 10)
+  (``redis_interface.py:101,107``) → ``offset().limit()``,
+* **injection guard** — query strings containing ``;`` / ``--`` were
+  rejected (``redis_interface.py:103-104``); DataFrame filters are
+  parameterized so injection is structurally impossible, but the guard is
+  kept as input validation for API parity,
+* **null → 'None' fill at the read boundary** (``redis_interface.py:63-74``),
+* **change-feed subscription** (``graphql_interface.py:47-63``) → batch or
+  streaming read of the table's changelog directory.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_kafka_project_spark.minilake.table import LakeTable
+
+DEFAULT_LIMIT = 10  # reference default page size, redis_interface.py:101
+
+
+class QueryValidationError(ValueError):
+    """Bad search input (reference injection guard, redis_interface.py:103)."""
+
+
+def _guard(term: str) -> str:
+    if ";" in term or "--" in term:
+        raise QueryValidationError(f"invalid characters in query term: {term!r}")
+    return term
+
+
+def search(
+    df: DataFrame,
+    text: dict[str, str] | None = None,
+    tags: dict[str, str] | None = None,
+    exact: dict[str, str] | None = None,
+    offset: int = 0,
+    limit: int = DEFAULT_LIMIT,
+    order_by: list[str] | None = None,
+) -> DataFrame:
+    """Conjunctive multi-field search with pagination.
+
+    Every (field → "v1, v2") entry is split on ``', '`` and EVERY term
+    must match (AND of ANDs, the reference's query builder):
+
+    * ``text`` fields: case-insensitive substring containment per term,
+    * ``tags`` fields: the stored value is a ``', '``-joined CSV string
+      (reference list encoding, ``actor_handler.py:26``); each term must
+      be an exact member,
+    * ``exact`` fields: equality per term (useful for single-valued
+      fields; multiple terms on one exact field can only match if equal).
+    """
+    cond = F.lit(True)
+    for field_name, arg in (text or {}).items():
+        for term in str(arg).split(", "):
+            cond = cond & F.lower(F.col(field_name)).contains(_guard(term).lower())
+    for field_name, arg in (tags or {}).items():
+        for term in str(arg).split(", "):
+            cond = cond & F.array_contains(F.split(F.col(field_name), ", "), _guard(term))
+    for field_name, arg in (exact or {}).items():
+        for term in str(arg).split(", "):
+            cond = cond & (F.col(field_name) == _guard(term))
+    out = df.filter(cond)
+    if order_by:
+        out = out.orderBy(*order_by)
+    if offset:
+        out = out.offset(offset)
+    return out.limit(limit) if limit is not None else out
+
+
+def fill_none(df: DataFrame, placeholder: str = "None") -> DataFrame:
+    """Replace nulls in string columns with a placeholder at the read
+    boundary — reference sink behavior (``redis_interface.py:63-74``)."""
+    string_cols = [name for name, dtype in df.dtypes if dtype == "string"]
+    return df.na.fill(placeholder, subset=string_cols)
+
+
+# ---------- change feed (pub/sub analog) ----------
+
+
+def read_changelog(
+    spark: SparkSession, table_root: str, from_epoch: int | None = None
+) -> DataFrame:
+    """Batch read of the outbound change feed written by the merge
+    (``cdc/merge.py`` changelog_dir). One row per changed key per epoch:
+    ``(epoch, <keys>, op U/D, lsn, <payload>)``."""
+    path = os.path.join(table_root, "changelog")
+    df = (
+        spark.read.option("basePath", path)
+        .parquet(os.path.join(path, "epoch=*"))
+    )
+    if from_epoch is not None:
+        df = df.filter(F.col("epoch") >= from_epoch)
+    return df
+
+
+def stream_changelog(spark: SparkSession, table_root: str) -> DataFrame:
+    """Streaming subscription to the change feed — the engine's
+    ``subscribe_movie_updates`` (``graphql_interface.py:44-63``): a file-
+    source tail of the changelog dir, ``outputMode('append')``-safe."""
+    path = os.path.join(table_root, "changelog")
+    schema = spark.read.option("basePath", path).parquet(os.path.join(path, "epoch=*")).schema
+    return spark.readStream.schema(schema).option("basePath", path).parquet(
+        os.path.join(path, "epoch=*")
+    )
+
+
+def latest(spark: SparkSession, table_root: str, version: int | None = None) -> DataFrame:
+    """Read the (or a time-traveled) snapshot without tombstones."""
+    return LakeTable(spark, table_root).read(version=version)

@@ -1,0 +1,137 @@
+"""Serving layer (search / pagination / change feed) and table
+maintenance (compaction, tombstone purge, snapshot expiry)."""
+
+import os
+
+import pytest
+
+from etl_kafka_project_spark import serving
+from etl_kafka_project_spark.cdc.compaction import compact, expire_snapshots
+from etl_kafka_project_spark.cdc.fixtures import StreamSpec, generate_stream
+from etl_kafka_project_spark.cdc.merge import create_code_table
+from etl_kafka_project_spark.cdc.oracle import replay_oracle
+from etl_kafka_project_spark.cdc.stream import ReplayJob
+from etl_kafka_project_spark.config import EngineConfig
+from etl_kafka_project_spark.minilake.table import LakeTable
+
+CFG = EngineConfig(n_buckets=8)
+
+
+@pytest.fixture(scope="module")
+def replayed(spark, tmp_path_factory):
+    """One replayed table shared by the read-only serving tests."""
+    tmp = tmp_path_factory.mktemp("serving")
+    spec = StreamSpec(n_events=900, n_keys=120, n_segments=4, min_lines=2, max_lines=3)
+    events, _ = generate_stream(str(tmp / "stream"), spec)
+    create_code_table(spark, str(tmp / "table"), CFG)
+    job = ReplayJob(
+        table_root=str(tmp / "table"),
+        stream_dir=str(tmp / "stream"),
+        checkpoint_dir=str(tmp / "ckpt"),
+        config=CFG,
+    )
+    job.run(spark)
+    return str(tmp / "table"), events
+
+
+def test_search_conjunctive_and_pagination(spark, replayed):
+    root, events = replayed
+    df = serving.latest(spark, root)
+
+    hot = serving.search(df, exact={"repo": "repo-000"}, limit=None)
+    want = replay_oracle(events)
+    assert hot.count() == (want.repo == "repo-000").sum()
+
+    # conjunctive: exact repo AND text term in content
+    both = serving.search(
+        df, exact={"repo": "repo-000"}, text={"content": "line 0"}, limit=None
+    )
+    assert 0 < both.count() <= hot.count()
+
+    # multi-value text arg: both terms required
+    n_and = serving.search(df, text={"content": "line 0, line 2"}, limit=None).count()
+    n_single = serving.search(df, text={"content": "line 0"}, limit=None).count()
+    assert 0 < n_and <= n_single
+
+    # pagination: LIMIT offset,limit with deterministic order
+    page1 = serving.search(df, order_by=["repo", "path"], offset=0, limit=5)
+    page2 = serving.search(df, order_by=["repo", "path"], offset=5, limit=5)
+    rows1, rows2 = page1.collect(), page2.collect()
+    assert len(rows1) == 5 and len(rows2) == 5
+    assert {tuple(r) for r in rows1}.isdisjoint({tuple(r) for r in rows2})
+
+    with pytest.raises(serving.QueryValidationError):
+        serving.search(df, text={"content": "x; DROP"}).collect()
+
+
+def test_fill_none(spark, replayed):
+    root, _ = replayed
+    df = serving.latest(spark, root)
+    filled = serving.fill_none(df.select("lang", "commit"))
+    assert filled.filter(filled.lang.isNull() | filled.commit.isNull()).count() == 0
+
+
+def test_changelog_feed(spark, replayed):
+    root, events = replayed
+    feed = serving.read_changelog(spark, root)
+    assert set(feed.columns) >= {"epoch", "repo", "path", "op", "lsn"}
+    assert feed.select("epoch").distinct().count() >= 1
+    # every final live key appears in the feed (its last change was published)
+    want = replay_oracle(events)
+    live = {(r.repo, r.path) for r in feed.filter(feed.op == "U").select("repo", "path").distinct().collect()}
+    assert {(t.repo, t.path) for t in want.itertuples()} <= live
+
+    # streaming subscription reads the same rows
+    q = (
+        serving.stream_changelog(spark, root)
+        .writeStream.format("memory")
+        .queryName("feed_test")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    n = spark.sql("select count(*) c from feed_test").first()["c"]
+    assert n == feed.count()
+
+
+def test_compaction_and_tombstone_purge(spark, tmp_path):
+    spec = StreamSpec(n_events=800, n_keys=100, n_segments=6, min_lines=2, max_lines=3)
+    events, _ = generate_stream(str(tmp_path / "stream"), spec)
+    create_code_table(spark, str(tmp_path / "table"), CFG)
+    job = ReplayJob(
+        table_root=str(tmp_path / "table"),
+        stream_dir=str(tmp_path / "stream"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        config=CFG,
+        max_files_per_trigger=1,
+    )
+    job.run(spark)
+    table = LakeTable(spark, str(tmp_path / "table"))
+
+    before = table.read(include_tombstones=True)
+    n_tombs = before.filter(before._deleted).count()
+    assert n_tombs > 0  # fixture op mix guarantees deletes survive
+
+    live_before = table.read().toPandas().sort_values(["repo", "path"]).reset_index(drop=True)
+    stats = compact(table, CFG, purge_tombstones_below_lsn=spec.n_events, max_files_per_bucket=1)
+    assert stats.tombstones_purged == n_tombs
+    after = table.read(include_tombstones=True)
+    assert after.filter(after._deleted).count() == 0
+
+    # live rows unchanged by maintenance
+    live_after = table.read().toPandas().sort_values(["repo", "path"]).reset_index(drop=True)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(
+        live_before.reindex(columns=sorted(live_before.columns)),
+        live_after.reindex(columns=sorted(live_after.columns)),
+    )
+
+    # snapshot expiry: old versions vanish, current stays readable
+    v = table.current_version()
+    out = expire_snapshots(table, keep_last=1)
+    assert out["snapshots_removed"] > 0
+    assert table.current_version() == v
+    assert table.read().count() == len(live_after)
+    with pytest.raises(FileNotFoundError):
+        table.snapshot(0)
