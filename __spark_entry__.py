@@ -1,38 +1,55 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship query (CDC LWW compaction of the events
+stream + content hashing) at sf0.001. ``queries()`` / ``oracle_sql()`` —
+the operator surface from SURVEY.md §2 plus the training-data-pipeline
+operators (dedup / similarity / text analysis / multimodal), each with a
+DuckDB oracle twin where SQL can express it (rows-only otherwise).
+Implementations live in ``etl_kafka_project_spark/ops/``.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from etl_kafka_project_spark.ops import dedup as _dedup
+from etl_kafka_project_spark.ops import events as _events
+from etl_kafka_project_spark.ops import multimodal as _multimodal
+from etl_kafka_project_spark.ops import relational as _relational
+from etl_kafka_project_spark.ops import similarity as _similarity
+from etl_kafka_project_spark.ops import text as _text
+
+_MODULES = [_relational, _events, _text, _dedup, _similarity, _multimodal]
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: LWW-latest state of the events change stream (the CDC
+    merge's window semantics) with the sha256 content invariant."""
+    from pyspark.sql import functions as F
+
+    sf_dir = "/root/testdata/sf0.001"
+    latest = _events.lww_latest_per_key(spark, sf_dir)
+    return latest.withColumn(
+        "props_sha256",
+        F.sha2(F.concat_ws("|", "user_id", "last_event_type"), 256),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for mod in _MODULES:
+        out.update(mod.QUERIES)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    out: dict[str, str] = {}
+    for mod in _MODULES:
+        out.update(mod.ORACLES)
+    return out

@@ -1,0 +1,241 @@
+"""Deduplication operators over ``documents`` / ``embeddings`` — the
+core of a pretraining-data pipeline at 100 TB:
+
+* **exact** — hash-groupBy on sha256(text): one shuffle, map-side
+  partial agg, scales linearly,
+* **MinHash + LSH** — word-3-gram shingles → 8 md5-minhashes → 4 bands
+  of 2 → candidate pairs = docs sharing a band bucket. The band join is
+  an equi-join on the bucket hash, so at scale it shuffles only
+  candidates, never the O(n²) pair space,
+* **SimHash** — 16-bit fingerprint: per-token md5 bits weighted ±1,
+  sign-aggregated per bit (explode × bit grid — associative sums, fully
+  parallel),
+* **n-gram Jaccard** — exact shingle-set similarity on an explicit pair
+  list (here: adjacent doc ids; in production: the LSH candidates),
+* **embedding cosine** — near-dup by vector similarity on a pair list.
+
+Everything is built-in JVM expressions (higher-order array functions,
+md5, explode); md5 is used as the hash family because Spark and DuckDB
+agree on it byte-for-byte, which makes every stage oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_kafka_project_spark.ops import load
+
+N_HASHES = 8
+N_BANDS = 4  # bands of 2 hashes each
+
+#: word 3-gram shingles of lower-cased text (falls back to the whole text
+#: for degenerate short docs)
+_GRAMS = (
+    "CASE WHEN size(split(lower(text), ' ')) >= 3 THEN"
+    " transform(sequence(1, size(split(lower(text), ' ')) - 2),"
+    "  i -> concat(element_at(split(lower(text), ' '), i), ' ',"
+    "              element_at(split(lower(text), ' '), i + 1), ' ',"
+    "              element_at(split(lower(text), ' '), i + 2)))"
+    " ELSE array(lower(text)) END"
+)
+
+_GRAMS_SQL = (
+    "CASE WHEN len(string_split(lower(text), ' ')) >= 3 THEN"
+    " list_transform(range(1, len(string_split(lower(text), ' ')) - 1),"
+    "  i -> string_split(lower(text), ' ')[i] || ' ' ||"
+    "       string_split(lower(text), ' ')[i+1] || ' ' ||"
+    "       string_split(lower(text), ' ')[i+2])"
+    " ELSE [lower(text)] END"
+)
+
+
+def dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact dedup: keep the lowest doc_id per identical text."""
+    d = load(spark, sf, "documents")
+    return (
+        d.groupBy(F.sha2("text", 256).alias("content_sha256"))
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+DEDUP_EXACT_SQL = """
+SELECT sha256(text) AS content_sha256, min(doc_id) AS keeper_doc_id,
+       count(*) AS n_copies
+FROM documents GROUP BY sha256(text)
+"""
+
+
+def _minhash_cols() -> list[F.Column]:
+    return [
+        F.expr(f"array_min(transform({_GRAMS}, g -> md5(concat('{j}:', g))))").alias(f"mh{j}")
+        for j in range(N_HASHES)
+    ]
+
+
+def minhash_signatures(spark: SparkSession, sf: str) -> DataFrame:
+    """8-hash MinHash signature per document (md5 hash family)."""
+    d = load(spark, sf, "documents")
+    return d.select("doc_id", *_minhash_cols())
+
+
+_MH_SQL_COLS = ",\n       ".join(
+    f"list_min(list_transform({_GRAMS_SQL}, g -> md5('{j}:' || g))) AS mh{j}"
+    for j in range(N_HASHES)
+)
+MINHASH_SQL = f"SELECT doc_id,\n       {_MH_SQL_COLS}\nFROM documents"
+
+
+def lsh_candidate_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """LSH banding: docs sharing any (band, bucket) become a candidate
+    pair — the scale path for near-dup detection (equi-join on bucket)."""
+    sig = minhash_signatures(spark, sf)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat(F.col(f"mh{2 * b}"), F.col(f"mh{2 * b + 1}"), F.lit(f":{b}"))).alias(
+                    "bucket"
+                ),
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    bands = sig.select("doc_id", F.explode(band_structs).alias("bb")).select(
+        "doc_id", "bb.band", "bb.bucket"
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+_BAND_SQL = "\nUNION ALL\n".join(
+    f"SELECT doc_id, {b} AS band, md5(mh{2 * b} || mh{2 * b + 1} || ':{b}') AS bucket FROM sig"
+    for b in range(N_BANDS)
+)
+LSH_PAIRS_SQL = f"""
+WITH sig AS ({MINHASH_SQL}),
+bands AS ({_BAND_SQL})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+WHERE a.doc_id < b.doc_id
+"""
+
+
+def simhash(spark: SparkSession, sf: str) -> DataFrame:
+    """16-bit SimHash: per-token 16-bit md5 hash, each bit weighted ±1
+    and sign-aggregated; near-dups land at small hamming distance."""
+    d = load(spark, sf, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok")
+    ).withColumn("h", F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10).cast("long"))
+    bits = tok.select(
+        "doc_id", "h", F.explode(F.sequence(F.lit(0), F.lit(15))).alias("k")
+    ).withColumn(
+        "contrib",
+        2 * F.pmod(F.floor(F.col("h") / F.pow(F.lit(2.0), F.col("k"))).cast("long"), 2) - 1,
+    )
+    per_bit = bits.groupBy("doc_id", "k").agg(F.sum("contrib").alias("s"))
+    return per_bit.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.pow(F.lit(2.0), F.col("k")).cast("long")).otherwise(0)
+        ).alias("simhash16")
+    )
+
+
+SIMHASH_SQL = """
+WITH tok AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(t.tok), 1, 4)) AS BIGINT) AS h
+  FROM documents, unnest(string_split(lower(text), ' ')) AS t(tok)
+),
+bits AS (
+  SELECT doc_id, k.k,
+         2 * (CAST(floor(h / power(2, k.k)) AS BIGINT) % 2) - 1 AS contrib
+  FROM tok, unnest(range(0, 16)) AS k(k)
+),
+per_bit AS (SELECT doc_id, k, sum(contrib) AS s FROM bits GROUP BY doc_id, k)
+SELECT doc_id,
+       sum(CASE WHEN s > 0 THEN CAST(power(2, k) AS BIGINT) ELSE 0 END) AS simhash16
+FROM per_bit GROUP BY doc_id
+"""
+
+
+def ngram_jaccard_adjacent(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact 3-gram Jaccard on an explicit pair list (adjacent ids here;
+    the LSH candidates in production — same join shape)."""
+    d = load(spark, sf, "documents").select(
+        "doc_id", F.expr(f"array_distinct({_GRAMS})").alias("grams")
+    )
+    a, b = d.alias("a"), d.alias("b")
+    joined = a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1)
+    inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
+    union = F.size(F.array_union(F.col("a.grams"), F.col("b.grams")))
+    jac = F.round(inter.cast("double") / union.cast("double"), 6)
+    return joined.select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        jac.alias("jaccard"),
+        (jac >= 0.2).alias("near_dup"),
+    )
+
+
+JACCARD_SQL = f"""
+WITH g AS (SELECT doc_id, list_distinct({_GRAMS_SQL}) AS grams FROM documents)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+             / CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE), 6) AS jaccard,
+       round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+             / CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE), 6) >= 0.2 AS near_dup
+FROM g a JOIN g b ON b.doc_id = a.doc_id + 1
+"""
+
+
+def embedding_neardup_adjacent(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-cosine near-dup on an explicit pair list."""
+    e = load(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a, b = e.alias("a"), e.alias("b")
+    joined = a.join(b, F.col("b.vec_id") == F.col("a.vec_id") + 1)
+    dot = F.expr("aggregate(zip_with(a.v, b.v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+    na = F.expr("sqrt(aggregate(a.v, 0D, (acc, x) -> acc + x * x))")
+    nb = F.expr("sqrt(aggregate(b.v, 0D, (acc, x) -> acc + x * x))")
+    cos = F.round(dot / (na * nb), 6)
+    return joined.select(
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("b.vec_id").alias("vec_b"),
+        cos.alias("cosine"),
+        (cos >= 0.9).alias("near_dup"),
+    )
+
+
+EMB_NEARDUP_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_cosine_similarity(a.v, b.v), 6) AS cosine,
+       round(list_cosine_similarity(a.v, b.v), 6) >= 0.9 AS near_dup
+FROM e a JOIN e b ON b.vec_id = a.vec_id + 1
+"""
+
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "minhash_signatures": minhash_signatures,
+    "lsh_candidate_pairs": lsh_candidate_pairs,
+    "simhash": simhash,
+    "ngram_jaccard_adjacent": ngram_jaccard_adjacent,
+    "embedding_neardup_adjacent": embedding_neardup_adjacent,
+}
+
+ORACLES = {
+    "dedup_exact": DEDUP_EXACT_SQL,
+    "minhash_signatures": MINHASH_SQL,
+    "lsh_candidate_pairs": LSH_PAIRS_SQL,
+    "simhash": SIMHASH_SQL,
+    "ngram_jaccard_adjacent": JACCARD_SQL,
+    "embedding_neardup_adjacent": EMB_NEARDUP_SQL,
+}

@@ -1,0 +1,158 @@
+"""Similarity search over the ``embeddings`` table (vec_id,
+embedding: array<float> dim-64, label).
+
+* **brute-force cosine top-k** — the exactness baseline: one scan, one
+  narrow sort; at 100 TB this is a map-side score + global top-k
+  (Spark's ``orderBy().limit(k)`` plans TakeOrderedAndProject — no full
+  sort, per-partition heaps + driver merge),
+* **LSH hyperplane bucketing** — the scale path: 4 deterministic ±1
+  hyperplanes (md5-seeded, embedded as literals on BOTH engines) hash
+  each vector to a 4-bit bucket; search only probes the query's bucket,
+* **IVF coarse assignment** — the other standard ANN layout: assign
+  every vector to its nearest of k coarse centroids (here the first 4
+  vectors); at scale the assignment is a broadcast join + argmax, and
+  the posting lists become partition keys.
+
+Floats are cast to double before arithmetic so Spark's fold and DuckDB's
+list functions agree to well below the 6-decimal rounding.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_kafka_project_spark.ops import load
+
+DIM = 64
+N_PLANES = 4
+
+
+def _plane(j: int) -> list[int]:
+    """Deterministic ±1 hyperplane from md5 — identical literals are
+    embedded in the Spark expression and the DuckDB SQL."""
+    return [
+        1 if int(hashlib.md5(f"{j}:{i}".encode()).hexdigest()[0], 16) % 2 == 0 else -1
+        for i in range(DIM)
+    ]
+
+
+PLANES = [_plane(j) for j in range(N_PLANES)]
+
+
+def _cosine(a: str, b: str) -> F.Column:
+    dot = F.expr(f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+    na = F.expr(f"sqrt(aggregate({a}, 0D, (acc, x) -> acc + x * x))")
+    nb = F.expr(f"sqrt(aggregate({b}, 0D, (acc, x) -> acc + x * x))")
+    return dot / (na * nb)
+
+
+def ann_bruteforce_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact top-5 cosine neighbors of the vec_id=0 query vector."""
+    e = load(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = e.filter(F.col("vec_id") == 0).select(F.col("v").alias("q"))
+    scored = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", _cosine("v", "q").alias("_cos"))
+    )
+    return (
+        scored.orderBy(F.desc("_cos"), "vec_id")
+        .limit(5)
+        .select("vec_id", F.round("_cos", 6).alias("cosine"))
+    )
+
+
+ANN_BRUTEFORCE_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT v AS q FROM e WHERE vec_id = 0)
+SELECT vec_id, round(list_cosine_similarity(v, q), 6) AS cosine
+FROM e, q WHERE vec_id <> 0
+ORDER BY list_cosine_similarity(v, q) DESC, vec_id
+LIMIT 5
+"""
+
+
+def ann_lsh_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    """Random-hyperplane LSH: 4-bit bucket per vector."""
+    e = load(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    bucket = F.lit(0)
+    for j, plane in enumerate(PLANES):
+        lits = ", ".join(f"{w}D" for w in plane)
+        dot = F.expr(
+            f"aggregate(zip_with(v, array({lits}), (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+        )
+        bucket = bucket + F.when(dot > 0, F.lit(2**j)).otherwise(0)
+    return e.select("vec_id", bucket.alias("bucket"))
+
+
+def _lsh_sql() -> str:
+    terms = []
+    for j, plane in enumerate(PLANES):
+        lits = ", ".join(str(w) for w in plane)
+        dot = (
+            f"list_sum(list_transform(range(1, {DIM + 1}),"
+            f" i -> v[i] * ([{lits}]::DOUBLE[])[i]))"
+        )
+        terms.append(f"CASE WHEN {dot} > 0 THEN {2**j} ELSE 0 END")
+    return (
+        "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)\n"
+        f"SELECT vec_id, {' + '.join(terms)} AS bucket FROM e"
+    )
+
+
+ANN_LSH_SQL = _lsh_sql()
+
+
+def ivf_coarse_assignment(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF: nearest-of-4-centroids assignment (centroids = vec_id 0..3)."""
+    e = load(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cents = e.filter(F.col("vec_id") <= 3).select(
+        F.col("vec_id").alias("centroid_id"), F.col("v").alias("c")
+    )
+    scored = e.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "centroid_id", _cosine("v", "c").alias("_cos")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("_cos"), "centroid_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "centroid_id", F.round("_cos", 6).alias("cosine"))
+    )
+
+
+IVF_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c AS (SELECT vec_id AS centroid_id, v AS c FROM e WHERE vec_id <= 3),
+scored AS (
+  SELECT vec_id, centroid_id, list_cosine_similarity(v, c) AS cos
+  FROM e, c
+),
+ranked AS (
+  SELECT vec_id, centroid_id, cos,
+         row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, centroid_id) AS rk
+  FROM scored
+)
+SELECT vec_id, centroid_id, round(cos, 6) AS cosine FROM ranked WHERE rk = 1
+"""
+
+
+QUERIES = {
+    "ann_bruteforce_topk": ann_bruteforce_topk,
+    "ann_lsh_buckets": ann_lsh_buckets,
+    "ivf_coarse_assignment": ivf_coarse_assignment,
+}
+
+ORACLES = {
+    "ann_bruteforce_topk": ANN_BRUTEFORCE_SQL,
+    "ann_lsh_buckets": ANN_LSH_SQL,
+    "ivf_coarse_assignment": IVF_SQL,
+}

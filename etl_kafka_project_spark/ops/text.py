@@ -1,0 +1,202 @@
+"""Text-analysis operators over ``documents`` — the content-bearing
+pipeline a training-data engine needs (language-ID, quality scoring,
+token counting, fingerprinting, content hashing). All JVM-side built-ins
+(split / regexp / higher-order array functions) — no Python in the row
+path; the pandas-UDF sha256 variant lives in ``functions/hashing.py`` and
+is cross-checked in tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_kafka_project_spark.ops import load
+
+#: BPE-ish pre-tokenizer: letter runs | digit runs | single punctuation
+BPE_RE = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in")
+
+def _toks() -> F.Column:
+    return F.split(F.lower(F.col("text")), " ")
+
+
+_TOKS_SQL = "string_split(lower(text), ' ')"
+
+
+def token_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Whitespace + BPE-ish token counts and mean token length."""
+    d = load(spark, sf, "documents")
+    n_ws = F.size(_toks())
+    n_bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_RE), 0))
+    nospace = F.length(F.regexp_replace(F.col("text"), " ", ""))
+    return d.select(
+        "doc_id",
+        n_ws.alias("n_ws_tokens"),
+        n_bpe.alias("n_bpe_tokens"),
+        F.round(nospace.cast("double") / n_ws.cast("double"), 4).alias("mean_token_len"),
+    )
+
+
+TOKEN_STATS_SQL = f"""
+SELECT doc_id,
+       len({_TOKS_SQL}) AS n_ws_tokens,
+       len(regexp_extract_all(text, '{BPE_RE}')) AS n_bpe_tokens,
+       round(CAST(length(regexp_replace(text, ' ', '', 'g')) AS DOUBLE)
+             / CAST(len({_TOKS_SQL}) AS DOUBLE), 4) AS mean_token_len
+FROM documents
+"""
+
+
+def quality_score(spark: SparkSession, sf: str) -> DataFrame:
+    """Heuristic document quality: length saturation, stopword ratio,
+    vocabulary diversity — the usual pretraining-filter features."""
+    d = load(spark, sf, "documents")
+    n_tok = F.size(_toks())
+    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
+    n_stop = F.expr(
+        f"size(filter(split(lower(text), ' '), t -> t IN ({stop_list})))"
+    )
+    n_uniq = F.size(F.array_distinct(_toks()))
+    stop_ratio = F.round(n_stop.cast("double") / n_tok.cast("double"), 4)
+    diversity = F.round(n_uniq.cast("double") / n_tok.cast("double"), 4)
+    len_sat = F.round(F.least(F.length("text"), F.lit(500)).cast("double") / 500.0, 4)
+    # composite score in INTEGER basis (components × 10000) so the two
+    # engines never disagree on a round-half boundary; range 0..100000
+    si = F.round(stop_ratio * 10000).cast("long")
+    di = F.round(diversity * 10000).cast("long")
+    li = F.round(len_sat * 10000).cast("long")
+    quality = 4 * li + 3 * di + 3 * (10000 - F.least(2 * si, F.lit(10000)))
+    return d.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        stop_ratio.alias("stopword_ratio"),
+        diversity.alias("diversity"),
+        len_sat.alias("len_sat"),
+        quality.alias("quality_scaled"),
+    )
+
+
+_STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
+QUALITY_SQL = f"""
+SELECT doc_id, n_tokens, stopword_ratio, diversity, len_sat,
+       4 * CAST(round(len_sat * 10000) AS BIGINT)
+     + 3 * CAST(round(diversity * 10000) AS BIGINT)
+     + 3 * (10000 - least(2 * CAST(round(stopword_ratio * 10000) AS BIGINT), 10000))
+       AS quality_scaled
+FROM (
+  SELECT doc_id,
+         len(toks) AS n_tokens,
+         round(CAST(len(list_filter(toks, t -> t IN ({_STOP_SQL}))) AS DOUBLE)
+               / CAST(len(toks) AS DOUBLE), 4) AS stopword_ratio,
+         round(CAST(len(list_distinct(toks)) AS DOUBLE)
+               / CAST(len(toks) AS DOUBLE), 4) AS diversity,
+         round(CAST(least(length(text), 500) AS DOUBLE) / 500.0, 4) AS len_sat
+  FROM (SELECT doc_id, text, {_TOKS_SQL} AS toks FROM documents)
+)
+"""
+
+#: language marker words (n-gram-heuristic language ID). The synthetic
+#: corpus is English-ish regardless of its ``lang`` label; the point is a
+#: deterministic, cross-engine-checkable classifier shape.
+LANG_MARKERS = {
+    "en": ("the", "a", "of"),
+    "de": ("der", "und", "das"),
+    "es": ("el", "que", "los"),
+    "fr": ("le", "et", "les"),
+}
+
+
+def language_id(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents")
+    scores = {}
+    for lang, words in LANG_MARKERS.items():
+        wl = ", ".join(f"'{w}'" for w in words)
+        scores[lang] = F.expr(f"size(filter(split(lower(text), ' '), t -> t IN ({wl})))")
+    pred = (
+        F.when(scores["en"] >= F.greatest(scores["de"], scores["es"], scores["fr"]), "en")
+        .when(scores["de"] >= F.greatest(scores["es"], scores["fr"]), "de")
+        .when(scores["es"] >= scores["fr"], "es")
+        .otherwise("fr")
+    )
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        pred.alias("pred_lang"),
+        *[scores[lang].alias(f"score_{lang}") for lang in LANG_MARKERS],
+    )
+
+
+def _lang_score_sql(lang: str) -> str:
+    wl = ", ".join(f"'{w}'" for w in LANG_MARKERS[lang])
+    return f"len(list_filter({_TOKS_SQL}, t -> t IN ({wl})))"
+
+
+LANG_ID_SQL = f"""
+SELECT doc_id, lang AS labeled_lang,
+       CASE WHEN s_en >= greatest(s_de, s_es, s_fr) THEN 'en'
+            WHEN s_de >= greatest(s_es, s_fr) THEN 'de'
+            WHEN s_es >= s_fr THEN 'es'
+            ELSE 'fr' END AS pred_lang,
+       s_en AS score_en, s_de AS score_de, s_es AS score_es, s_fr AS score_fr
+FROM (
+  SELECT doc_id, lang,
+         {_lang_score_sql('en')} AS s_en,
+         {_lang_score_sql('de')} AS s_de,
+         {_lang_score_sql('es')} AS s_es,
+         {_lang_score_sql('fr')} AS s_fr
+  FROM documents
+)
+"""
+
+
+def sha256_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """The engine's per-row content invariant (input_hint) as a query."""
+    d = load(spark, sf, "documents")
+    return d.select("doc_id", F.sha2("text", 256).alias("content_sha256"))
+
+
+SHA256_SQL = "SELECT doc_id, sha256(text) AS content_sha256 FROM documents"
+
+
+def doc_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    """Winnowing-style fingerprint: the minimum hash over all 8-char
+    shingles (one global window), plus a cheap md5 prefix. Robust to
+    single-char edits anywhere except at the minimizing shingle."""
+    d = load(spark, sf, "documents")
+    min_shingle = F.expr(
+        "array_min(transform(sequence(1, greatest(length(text) - 7, 1)),"
+        " i -> md5(substring(text, i, 8))))"
+    )
+    return d.select(
+        "doc_id",
+        min_shingle.alias("winnow_fp"),
+        F.substring(F.md5("text"), 1, 8).alias("md5_prefix"),
+    )
+
+
+FINGERPRINT_SQL = """
+SELECT doc_id,
+       list_min(list_transform(range(1, greatest(length(text) - 7, 1) + 1),
+                               i -> md5(substr(text, i, 8)))) AS winnow_fp,
+       substr(md5(text), 1, 8) AS md5_prefix
+FROM documents
+"""
+
+
+QUERIES = {
+    "token_stats": token_stats,
+    "quality_score": quality_score,
+    "language_id": language_id,
+    "sha256_documents": sha256_documents,
+    "doc_fingerprint": doc_fingerprint,
+}
+
+ORACLES = {
+    "token_stats": TOKEN_STATS_SQL,
+    "quality_score": QUALITY_SQL,
+    "language_id": LANG_ID_SQL,
+    "sha256_documents": SHA256_SQL,
+    "doc_fingerprint": FINGERPRINT_SQL,
+}

@@ -1,0 +1,66 @@
+"""The driver contract surface: entry() smoke, every queries() entry vs
+its DuckDB oracle_sql() twin at sf0.001 (the driver runs sf0.01 — same
+code path), and pinned values for the non-SQL mapInPandas operator."""
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod
+from tools.check_oracles import compare, duck_connection
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert "props_sha256" in df.columns
+    assert all(len(r["props_sha256"]) == 64 for r in rows)
+
+
+def test_every_query_has_oracle_or_is_declared(spark):
+    queries, oracles = entrymod.queries(), entrymod.oracle_sql()
+    assert set(oracles) <= set(queries)
+    # the only rows-only op is the mapInPandas feature extractor
+    assert set(queries) - set(oracles) == {"multimodal_features"}
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duck_connection(SF)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", sorted(entrymod.oracle_sql()))
+def test_query_matches_oracle(spark, duck, name):
+    fn = entrymod.queries()[name]
+    verdict = compare(name, fn(spark, SF), duck, entrymod.oracle_sql()[name])
+    assert verdict == "OK", verdict
+
+
+def test_multimodal_features_values(spark):
+    """Pin the mapInPandas operator's values (no SQL oracle)."""
+    out = entrymod.queries()["multimodal_features"](spark, SF)
+    row = {r["doc_id"]: r for r in out.collect()}[0]
+    import duckdb
+
+    text = duckdb.sql(
+        f"select text from read_parquet('{SF}/documents.parquet') where doc_id=0"
+    ).fetchone()[0]
+    raw = text.encode("utf-8")
+    assert row["n_bytes"] == len(raw)
+    assert row["first_byte"] == raw[0]
+    assert row["mean_byte"] == round(sum(raw) / len(raw), 6)
+
+
+def test_multimodal_decode_is_stubbed():
+    from etl_kafka_project_spark.ops.multimodal import decode_image
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG")
