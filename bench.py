@@ -1,0 +1,152 @@
+"""Benchmark harness (driver contract): run the headline queries + a CDC
+replay at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS], print ONE JSON line:
+
+    {"metric": ..., "value": total_sec, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ...,
+     "cdc": {"events": N, "events_per_sec": X, "epochs": E}}
+
+The CDC replay is the engine's core workload: a deterministic
+``code_changes`` stream (cached under /tmp keyed by its spec) replayed
+through the streaming foreachBatch MERGE into a fresh minilake table.
+Query timings use the noop sink so Catalyst cannot prune the measured
+work. Scaling evidence (local[8] vs local[32]) lives in
+``tools/scaling_bench.py`` → ``BENCH/BASELINE.md``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "window_top3_orders",
+    "lww_latest_per_key",
+    "minhash_signatures",
+    "simhash",
+    "ann_bruteforce_topk",
+    "sha256_documents",
+]
+
+#: 64 segments / 16 per trigger → 4 epochs, each scanning 16 files in
+#: parallel (single-row-group parquet segments are unsplittable, so scan
+#: parallelism == files per trigger; SURVEY §7.3.4 wants ≥ cores busy)
+CDC_SPEC = dict(
+    n_events=400_000, n_keys=50_000, n_repos=60, n_segments=64,
+    min_lines=30, max_lines=80, seed=42,
+)
+CDC_FILES_PER_TRIGGER = 16
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def cached_stream(spec_kw: dict) -> str:
+    """Generate (once) the bench change stream; cache by spec."""
+    from etl_kafka_project_spark.cdc.fixtures import StreamSpec, generate_stream
+
+    key = "-".join(f"{k}{v}" for k, v in sorted(spec_kw.items()))
+    out = f"/tmp/spark_graft_bench/stream-{key}"
+    if os.path.exists(os.path.join(out, "_DONE")):
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    t0 = time.time()
+    generate_stream(out, StreamSpec(**spec_kw))
+    open(os.path.join(out, "_DONE"), "w").write("ok")
+    log(f"stream generated in {time.time() - t0:.1f}s -> {out}")
+    return out
+
+
+def run_cdc_replay(spark, stream_dir: str, cpus: int) -> dict:
+    from etl_kafka_project_spark.cdc.merge import create_code_table
+    from etl_kafka_project_spark.cdc.stream import ReplayJob
+    from etl_kafka_project_spark.config import EngineConfig
+
+    work = f"/tmp/spark_graft_bench/replay-{cpus}-{time.time_ns()}"
+    cfg = EngineConfig(n_buckets=max(cpus, 16), target_file_rows=200_000)
+    create_code_table(spark, f"{work}/table", cfg)
+    job = ReplayJob(
+        table_root=f"{work}/table",
+        stream_dir=stream_dir,
+        checkpoint_dir=f"{work}/ckpt",
+        config=cfg,
+        max_files_per_trigger=CDC_FILES_PER_TRIGGER,
+        emit_changelog=False,
+    )
+    t0 = time.time()
+    stats = job.run(spark)
+    wall = time.time() - t0
+    n_events = sum(s.events_in for s in stats)
+    shutil.rmtree(work, ignore_errors=True)
+    return {
+        "events": n_events,
+        "epochs": len(stats),
+        "wall_sec": round(wall, 3),
+        "events_per_sec": round(n_events / wall, 1),
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    stream_dir = cached_stream(CDC_SPEC)
+
+    import __spark_entry__ as entrymod
+    from etl_kafka_project_spark.session import build_session
+
+    only_cdc = os.environ.get("SPARK_GRAFT_BENCH_ONLY_CDC") == "1"
+
+    spark = build_session(
+        f"local[{cpus}]",
+        shuffle_partitions=cpus,
+        # single local JVM hosts all "executors": size the heap for the
+        # machine (128 GiB box), not Spark's 1g default
+        extra_conf={"spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")},
+    )
+    queries = entrymod.queries()
+    timings: dict[str, float] = {}
+
+    # JVM warmup outside the measured window
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    for name in [] if only_cdc else BENCH_QUERIES:
+        t0 = time.time()
+        queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+        log(f"{name}: {timings[name]}s")
+
+    t0 = time.time()
+    cdc = run_cdc_replay(spark, stream_dir, cpus)
+    timings["cdc_replay"] = round(time.time() - t0, 3)
+    log(f"cdc_replay: {timings['cdc_replay']}s ({cdc['events_per_sec']} ev/s)")
+
+    spark.stop()
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_plus_cdc_replay_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "cpus": cpus,
+                "cdc": cdc,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -71,6 +71,17 @@ def decode_json_events(raw: DataFrame, value_col: str = "value") -> DataFrame:
     return parsed.select("e.*", "_raw")
 
 
+def dead_letter_reason() -> F.Column:
+    """Envelope-validation verdict per event: null when valid, else the
+    dead-letter reason (see :func:`split_dead_letters`)."""
+    return (
+        F.when(F.col("lsn").isNull(), F.lit("null_lsn"))
+        .when(F.col("repo").isNull() | F.col("path").isNull(), F.lit("null_key"))
+        .when(~F.col("op").isin(*OPS), F.lit("bad_op"))
+        .when((F.col("op") == "I") & F.col("content").isNull(), F.lit("null_content"))
+    )
+
+
 def split_dead_letters(events: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Partition a decoded batch into (valid, dead_letter).
 
@@ -81,13 +92,7 @@ def split_dead_letters(events: DataFrame) -> tuple[DataFrame, DataFrame]:
     replacement for the reference's typed-exception log-and-continue
     (``utils/exceptions.py``, ``kafka_interface.py:75-76``).
     """
-    reason = (
-        F.when(F.col("lsn").isNull(), F.lit("null_lsn"))
-        .when(F.col("repo").isNull() | F.col("path").isNull(), F.lit("null_key"))
-        .when(~F.col("op").isin(*OPS), F.lit("bad_op"))
-        .when((F.col("op") == "I") & F.col("content").isNull(), F.lit("null_content"))
-    )
-    tagged = events.withColumn("_dead_reason", reason)
+    tagged = events.withColumn("_dead_reason", dead_letter_reason())
     valid = tagged.filter(F.col("_dead_reason").isNull()).drop("_dead_reason")
     dead = tagged.filter(F.col("_dead_reason").isNotNull())
     return valid, dead

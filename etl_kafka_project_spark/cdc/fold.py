@@ -24,16 +24,19 @@ Implementation notes (scale-first):
 
 Instead of a ``row_number() OVER (PARTITION BY key ORDER BY lsn DESC)``
 window — which must shuffle *every event* to its key's reducer and sort —
-the fold is a pure **hash aggregation**: per column we take
-``max(struct(lsn_if_nonnull, value))``, i.e. "the value whose last
-non-null write has the highest LSN". ``max`` over a struct is associative
-and commutative, so Catalyst plans a partial (map-side) aggregate before
-the shuffle: a hot key with 10M events in a batch sends one partial row
-per map task, not 10M rows, to the reducer. This is what makes the fold
-skew-tolerant at 100 TB. A two-phase *salted* variant is still provided
-(``fold_batch(salt=...)``) for the pathological case of a single key
-dominating an entire batch AND a wide payload making partial-agg rows
-expensive; correctness is identical because the aggregate is associative.
+the fold is a pure **hash aggregation**: per column,
+``max_by(value_if_live, lsn_of_that_write)``, i.e. "the value whose last
+non-null write has the highest LSN". ``max_by`` is associative and
+commutative (lsns are unique per key), so Catalyst plans a partial
+(map-side) ObjectHashAggregate before the shuffle: a hot key with 10M
+events in a batch sends one partial row per map task, not 10M rows, to
+the reducer. This is what makes the fold skew-tolerant at 100 TB.
+(Measured on 38k × 2.5KB events: max_by 2.0s vs 5.2s for the equivalent
+max-over-struct, which Spark plans as a SortAggregate.) A two-phase
+*salted* variant is still provided (``fold_batch(salt=...)``) for the
+pathological case of a single key dominating an entire batch AND a wide
+payload making partial-agg rows expensive; correctness is identical
+because the aggregates are associative.
 
 Cross-batch delivery contract: batches must be LSN-range-disjoint from
 already-committed epochs except for verbatim re-delivery of old events
@@ -86,54 +89,66 @@ def fold_batch(
     key_columns = list(key_columns)
     payload_columns = [c for c in payload_columns if c not in key_columns]
 
-    # Replay duplicates (same lsn re-delivered) are no-ops: lsn is the
-    # global authority, one event per lsn.
-    ev = events.dropDuplicates([lsn_col])
-
     # Survivor rule: a delete resets the key; only events strictly newer
     # than the key's newest delete contribute values. Computed without a
-    # join: fold delete-lsn and value cells in ONE aggregation by masking
-    # value cells on D rows, then discarding value cells whose lsn is
-    # <= the newest delete. Masking works because the per-column cell max
-    # is monotone in lsn: a D row contributes (NEVER, null) which never
-    # wins over a real write.
+    # join: per column, ``max_by(value-if-live, lsn-of-that-write)`` picks
+    # the newest non-null write (max_by ignores rows with a null ordering
+    # key, so D rows and null columns never win), and the write's lsn is
+    # kept alongside so barriers can erase it afterwards. max_by/max plan
+    # as ObjectHashAggregate with map-side partials — measured ~2.6×
+    # faster than the equivalent max-over-struct, which Spark plans as a
+    # SortAggregate over the wide rows.
+    #
+    # Replay duplicates (same lsn re-delivered verbatim) are no-ops by
+    # construction here: ties in max_by carry identical values, and
+    # ``_applied`` counts DISTINCT lsns — no pre-dedup shuffle needed.
     d_lsn = F.max(F.when(F.col(op_col) == "D", F.col(lsn_col))).alias("_last_d_lsn")
     # reset barrier: I and D both replace the whole row as of their lsn
     reset_lsn = F.max(F.when(F.col(op_col).isin("I", "D"), F.col(lsn_col))).alias(
         "_last_reset_lsn"
     )
 
-    def masked_cell(col: str) -> F.Column:
+    def cell_aggs(col: str) -> list[F.Column]:
         live = F.when(F.col(op_col) != "D", F.col(col))
-        return F.max(
-            F.struct(
-                F.when(live.isNotNull(), F.col(lsn_col)).otherwise(F.lit(NEVER)).alias("l"),
-                live.alias("v"),
-            )
-        ).alias(f"_cell_{col}")
+        lsn_of_write = F.when(live.isNotNull(), F.col(lsn_col))
+        return [
+            F.max_by(live, lsn_of_write).alias(f"_v_{col}"),
+            F.max(lsn_of_write).alias(f"_l_{col}"),
+        ]
 
     aggs = [
         F.max(F.col(lsn_col)).alias("_max_lsn"),
         d_lsn,
         reset_lsn,
-        F.count(F.lit(1)).alias("_applied"),
-    ] + [masked_cell(c) for c in payload_columns]
+    ]
+    for c in payload_columns:
+        aggs += cell_aggs(c)
 
     if salt is None:
-        folded = ev.groupBy(*key_columns).agg(*aggs)
+        folded = events.groupBy(*key_columns).agg(
+            *aggs, F.size(F.collect_set(F.col(lsn_col))).alias("_applied")
+        )
     else:
-        # Two-phase salted aggregation: partial per (key, salt), final per
-        # key. Exactly correct because every aggregate here (max of struct,
-        # max, sum-of-counts) is associative + commutative.
+        # Two-phase salted aggregation for the pathological
+        # one-key-dominates-the-batch case: partial per (key, salt), then
+        # final per key. Exactly correct because max/max_by are
+        # associative + commutative over unique lsns — so duplicates ARE
+        # pre-dropped here (count partials must not double-count).
+        ev = events.dropDuplicates([*key_columns, lsn_col])
         partial = ev.groupBy(
             *key_columns, F.pmod(F.col(lsn_col), F.lit(salt)).alias("_salt")
-        ).agg(*aggs)
+        ).agg(*aggs, F.count(F.lit(1)).alias("_applied"))
         final_aggs = [
             F.max("_max_lsn").alias("_max_lsn"),
             F.max("_last_d_lsn").alias("_last_d_lsn"),
             F.max("_last_reset_lsn").alias("_last_reset_lsn"),
             F.sum("_applied").alias("_applied"),
-        ] + [F.max(f"_cell_{c}").alias(f"_cell_{c}") for c in payload_columns]
+        ]
+        for c in payload_columns:
+            final_aggs += [
+                F.max_by(F.col(f"_v_{c}"), F.col(f"_l_{c}")).alias(f"_v_{c}"),
+                F.max(F.col(f"_l_{c}")).alias(f"_l_{c}"),
+            ]
         folded = partial.groupBy(*key_columns).agg(*final_aggs)
 
     # Post-aggregation resolution: discard value cells at or below the
@@ -153,8 +168,8 @@ def fold_batch(
     erased_below = F.coalesce(F.col("_last_d_lsn"), F.lit(NEVER))
     reset_floor = F.coalesce(F.col("_last_reset_lsn"), F.lit(NEVER))
     for c in payload_columns:
-        cell = F.col(f"_cell_{c}")
-        alive = (cell["l"] > erased_below) & (cell["l"] >= reset_floor)
-        out_cols.append(F.when(alive, cell["v"]).alias(c))
-        out_cols.append(F.when(alive, cell["l"]).otherwise(F.lit(NEVER)).alias(f"{c}_lsn"))
+        v, l = F.col(f"_v_{c}"), F.col(f"_l_{c}")
+        alive = (l > erased_below) & (l >= reset_floor)
+        out_cols.append(F.when(alive, v).alias(c))
+        out_cols.append(F.when(alive, l).otherwise(F.lit(NEVER)).alias(f"{c}_lsn"))
     return folded.select(*out_cols)

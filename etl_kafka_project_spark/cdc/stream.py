@@ -35,6 +35,21 @@ from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery
 
 from etl_kafka_project_spark.cdc.envelope import EVENT_SCHEMA, split_dead_letters
+
+
+def _dead_letter_counts(path: str) -> dict[str, int]:
+    """Per-reason dead-letter counts from the quarantine files' own
+    parquet footers/pages (driver-side, no Spark job)."""
+    import pyarrow.parquet as pq
+
+    import pyarrow.compute as pc
+
+    try:
+        table = pq.read_table(path, columns=["_dead_reason"])
+    except (FileNotFoundError, OSError):
+        return {}
+    vc = pc.value_counts(table.column("_dead_reason").combine_chunks())
+    return {str(e["values"]): int(e["counts"]) for e in vc.to_pylist()}
 from etl_kafka_project_spark.cdc.evolution import evolve_table
 from etl_kafka_project_spark.cdc.merge import MergeStats, merge_events
 from etl_kafka_project_spark.cdc.metrics import LineageLog
@@ -94,22 +109,17 @@ class ReplayJob:
             return stats
 
         valid, dead = split_dead_letters(batch_df)
-        dead_counts = {
-            r["_dead_reason"]: r["n"]
-            for r in dead.groupBy("_dead_reason").agg(F.count(F.lit(1)).alias("n")).collect()
-        }
-        if dead_counts:
-            # idempotent per-epoch dead-letter quarantine (overwrite by epoch)
-            dead.write.mode("overwrite").parquet(
-                os.path.join(self.dead_letter_dir, f"epoch={epoch_id}")
-            )
+        # ONE scan quarantines dead letters (idempotent overwrite per
+        # epoch); per-reason counts come from the written files' metadata
+        # — no dedicated counting job over the (content-heavy) batch
+        dead_path = os.path.join(self.dead_letter_dir, f"epoch={epoch_id}")
+        dead.write.mode("overwrite").parquet(dead_path)
+        dead_counts = _dead_letter_counts(dead_path)
 
         # additive/widening schema evolution BEFORE the merge; its commit
         # is idempotent (re-diff after crash is empty), so it can sit
         # outside the epoch-stamped data commit safely
         evolve_table(table, valid.schema)
-
-        n_valid = valid.count()
         stats = merge_events(
             table,
             valid,
@@ -118,7 +128,9 @@ class ReplayJob:
             salt=self.salt,
             changelog_dir=self.changelog_dir if self.emit_changelog else None,
         )
-        stats.events_in = n_valid
+        # applied-event count falls out of the merge's own bucket stats
+        # (distinct lsns folded per bucket) — no extra count() pass
+        stats.events_in = sum(r["events"] for r in stats.per_bucket)
         lineage.record(stats, dead_letters=dead_counts)
         self.applied.append(stats)
         return stats
