@@ -24,6 +24,18 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+#: the sandbox's /tmp disk is slow and SHARED (~40-180 MB/s); the replay
+#: is IO-heavy, so on-disk runs measure the neighbors' IO, not the
+#: engine. tmpfs (/dev/shm, RAM-backed) stands in for the NVMe/DFS a
+#: real cluster has; fall back to /tmp when absent.
+import pathlib
+
+BENCH_ROOT = (
+    "/dev/shm/spark_graft_bench"
+    if pathlib.Path("/dev/shm").is_dir()
+    else "/tmp/spark_graft_bench"
+)
+
 BENCH_QUERIES = [
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -36,14 +48,16 @@ BENCH_QUERIES = [
     "sha256_documents",
 ]
 
-#: 64 segments / 16 per trigger → 4 epochs, each scanning 16 files in
+#: 32 segments / 8 per trigger → 4 epochs, each scanning 8+ files in
 #: parallel (single-row-group parquet segments are unsplittable, so scan
-#: parallelism == files per trigger; SURVEY §7.3.4 wants ≥ cores busy)
+#: parallelism == files per trigger; SURVEY §7.3.4 wants ≥ cores busy).
+#: Sized so one replay takes tens of seconds — short enough to repeat
+#: trials on this noisy shared host, long enough to amortize trigger cost.
 CDC_SPEC = dict(
-    n_events=400_000, n_keys=50_000, n_repos=60, n_segments=64,
+    n_events=200_000, n_keys=30_000, n_repos=60, n_segments=32,
     min_lines=30, max_lines=80, seed=42,
 )
-CDC_FILES_PER_TRIGGER = 16
+CDC_FILES_PER_TRIGGER = 8
 
 
 def log(msg: str) -> None:
@@ -55,7 +69,7 @@ def cached_stream(spec_kw: dict) -> str:
     from etl_kafka_project_spark.cdc.fixtures import StreamSpec, generate_stream
 
     key = "-".join(f"{k}{v}" for k, v in sorted(spec_kw.items()))
-    out = f"/tmp/spark_graft_bench/stream-{key}"
+    out = f"{BENCH_ROOT}/stream-{key}"
     if os.path.exists(os.path.join(out, "_DONE")):
         return out
     shutil.rmtree(out, ignore_errors=True)
@@ -71,8 +85,10 @@ def run_cdc_replay(spark, stream_dir: str, cpus: int) -> dict:
     from etl_kafka_project_spark.cdc.stream import ReplayJob
     from etl_kafka_project_spark.config import EngineConfig
 
-    work = f"/tmp/spark_graft_bench/replay-{cpus}-{time.time_ns()}"
-    cfg = EngineConfig(n_buckets=max(cpus, 16), target_file_rows=200_000)
+    work = f"{BENCH_ROOT}/replay-{cpus}-{time.time_ns()}"
+    # FIXED bucket count across parallelism levels — the scaling
+    # comparison must run the SAME job, only the cores differ
+    cfg = EngineConfig(n_buckets=64, target_file_rows=200_000)
     create_code_table(spark, f"{work}/table", cfg)
     job = ReplayJob(
         table_root=f"{work}/table",
@@ -112,7 +128,11 @@ def main() -> None:
         shuffle_partitions=cpus,
         # single local JVM hosts all "executors": size the heap for the
         # machine (128 GiB box), not Spark's 1g default
-        extra_conf={"spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")},
+        extra_conf={
+            "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
+            # shuffle/spill files on tmpfs too — see BENCH_ROOT comment
+            "spark.local.dir": os.path.join(BENCH_ROOT, "spark-local"),
+        },
     )
     queries = entrymod.queries()
     timings: dict[str, float] = {}

@@ -176,9 +176,35 @@ def write_segments(events: pd.DataFrame, out_dir: str, spec: StreamSpec) -> list
     return paths
 
 
-def generate_stream(out_dir: str, spec: StreamSpec | None = None) -> tuple[pd.DataFrame, list[str]]:
+def write_segments_json(events: pd.DataFrame, out_dir: str, spec: StreamSpec) -> list[str]:
+    """JSON-lines variant of :func:`write_segments` — one envelope per
+    line, the Kafka-message shape (reference ``kafka_interface.py:39``),
+    for the ``cdc/sources.py`` json_binlog reader."""
+    os.makedirs(out_dir, exist_ok=True)
+    rng = np.random.default_rng(spec.seed + 1)
+    n = len(events)
+    seg_size = max(1, -(-n // spec.n_segments))
+    paths: list[str] = []
+    for si in range(spec.n_segments):
+        seg = events.iloc[si * seg_size : (si + 1) * seg_size]
+        if seg.empty:
+            break
+        if spec.shuffle_within_segment:
+            seg = seg.iloc[rng.permutation(len(seg))].reset_index(drop=True)
+        path = os.path.join(out_dir, f"segment-{si:05d}.json")
+        seg.to_json(path, orient="records", lines=True, date_format="iso")
+        paths.append(path)
+    return paths
+
+
+def generate_stream(
+    out_dir: str, spec: StreamSpec | None = None, fmt: str = "parquet"
+) -> tuple[pd.DataFrame, list[str]]:
     """Generate events and write segments; returns (event log, segment paths)."""
     spec = spec or StreamSpec()
     events = generate_events(spec)
-    paths = write_segments(events, out_dir, spec)
+    if fmt == "json":
+        paths = write_segments_json(events, out_dir, spec)
+    else:
+        paths = write_segments(events, out_dir, spec)
     return events, paths

@@ -176,6 +176,28 @@ def merge_folded(
                 os.path.join(changelog_dir, f"epoch={epoch[1]}")
             )
 
+        if config.merge_mode == "mor":
+            # merge-on-read: append the folded actions as delta files —
+            # O(batch) bytes written; resolution happens at read
+            # (cdc/mor.py), compaction amortizes it (stream.py schedules)
+            from etl_kafka_project_spark.cdc.mor import write_delta_files
+
+            new_files = write_delta_files(table, folded, snap)
+            committed = table.commit(
+                expected_version=snap.version, new_files=new_files, epoch=epoch
+            )
+            return MergeStats(
+                epoch_id=epoch[1] if epoch else None,
+                events_in=events_in,
+                keys=n_keys,
+                upserts=n_keys - n_deletes,
+                deletes=n_deletes,
+                touched_buckets=len(touched),
+                wall_ms=(time.time() - t0) * 1000,
+                per_bucket=per_bucket,
+                snapshot_version=committed.version,
+            )
+
         target = table.read(buckets=touched, include_tombstones=True).alias("t")
         src = folded.alias("s")
         cond = [F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in key_cols]

@@ -44,6 +44,7 @@ class LineageLog:
         stats: MergeStats,
         dead_letters: dict[str, int] | None = None,
         skipped: bool = False,
+        extra: dict | None = None,
     ) -> dict:
         epoch_id = stats.epoch_id if stats.epoch_id is not None else -1
         wall_s = stats.wall_ms / 1000.0
@@ -64,6 +65,7 @@ class LineageLog:
             ),
             "skipped": skipped,
             "per_bucket": stats.per_bucket,
+            **(extra or {}),
         }
         _atomic_write_json(self._path(epoch_id), doc)
         return doc

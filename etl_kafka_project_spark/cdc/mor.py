@@ -1,0 +1,202 @@
+"""Merge-on-read deltas — the write-optimized path of the MERGE.
+
+Copy-on-write (``cdc/merge.py``) rewrites every touched bucket per epoch:
+write amplification is O(live table), which caps sustained events/s on a
+write-heavy CDC stream. The MOR path (the Iceberg merge-on-read /
+Paimon-LSM shape) instead **appends the folded batch as delta files** —
+O(batch) bytes per epoch — and defers conflict resolution:
+
+* **write** (:func:`delta_rows`): the fold output (one action per key,
+  per-column ``(value, lsn)`` cells + reset/delete barriers, see
+  ``cdc/fold.py``) is stored as-is, plus the content sha computed for
+  this batch's content cell;
+* **read** (:func:`resolve_deltas`): base rows are re-encoded as
+  single-cell writes at their ``last_lsn`` and unioned with all delta
+  rows; one hash aggregation per key (``max_by`` per column + barrier
+  maxes — exactly the fold's associative phase-2) yields the resolved
+  row. Correct because epochs are LSN-range-disjoint from compacted
+  base (the engine's delivery contract, ``cdc/fold.py`` docstring), so
+  "delta cell lsn vs base last_lsn" is a faithful ordering;
+* **compact** (:func:`compact_deltas`): resolve and rewrite buckets
+  whose delta share grew past a threshold — amortized, off the hot
+  path, and what keeps read cost bounded.
+
+The exactly-once story is unchanged: delta files + the epoch id commit
+in the same atomic snapshot.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from etl_kafka_project_spark.cdc.fold import NEVER
+from etl_kafka_project_spark.minilake.table import FileEntry, LakeTable, Snapshot
+
+#: meta columns of a delta row (fold output + sha)
+DELTA_META = ["_max_lsn", "_last_d_lsn", "_last_reset_lsn", "_is_delete", "_applied"]
+
+
+def _payload_cols(snap: Snapshot) -> list[str]:
+    key_cols = snap.props["key_columns"]
+    meta = {"content_sha256", "last_lsn", "row_version", "_deleted"}
+    return [f.name for f in snap.schema.fields if f.name not in key_cols and f.name not in meta]
+
+
+def delta_schema(snap: Snapshot) -> T.StructType:
+    """Stored schema of delta files for the table's CURRENT schema —
+    old delta files with fewer columns null-fill on read (same
+    metadata-only evolution as base files)."""
+    key_cols = snap.props["key_columns"]
+    dtypes = {f.name: f.dataType for f in snap.schema.fields}
+    fields = [T.StructField(k, dtypes[k], True) for k in key_cols]
+    for c in _payload_cols(snap):
+        fields.append(T.StructField(c, dtypes[c], True))
+        fields.append(T.StructField(f"{c}_lsn", T.LongType(), True))
+    fields += [
+        T.StructField("content_sha256", T.StringType(), True),
+        T.StructField("_max_lsn", T.LongType(), True),
+        T.StructField("_last_d_lsn", T.LongType(), True),
+        T.StructField("_last_reset_lsn", T.LongType(), True),
+        T.StructField("_is_delete", T.BooleanType(), True),
+        T.StructField("_applied", T.LongType(), True),
+    ]
+    return T.StructType(fields)
+
+
+def delta_rows(folded: DataFrame, snap: Snapshot) -> DataFrame:
+    """Fold output → storable delta rows (adds the batch's content sha,
+    tied to the content cell's lsn)."""
+    if "content" in _payload_cols(snap):
+        sha = F.when(F.col("content_lsn") > NEVER, F.sha2(F.col("content"), 256))
+    else:
+        sha = F.lit(None).cast("string")
+    out = folded.withColumn("content_sha256", sha)
+    cols = [f.name for f in delta_schema(snap).fields]
+    extra = [c for c in out.columns if c not in cols]  # e.g. _bucket
+    return out.select(*cols, *extra)
+
+
+def _encode_base_as_delta(base: DataFrame, snap: Snapshot) -> DataFrame:
+    """A resolved base row is, for resolution purposes, a bundle of
+    single-column writes at ``last_lsn`` (non-null columns only) plus a
+    delete barrier if tombstoned."""
+    key_cols = snap.props["key_columns"]
+    cols: list[F.Column] = [F.col(k) for k in key_cols]
+    for c in _payload_cols(snap):
+        cols.append(F.col(c))
+        cols.append(
+            F.when(F.col(c).isNotNull(), F.col("last_lsn")).otherwise(F.lit(NEVER)).alias(f"{c}_lsn")
+        )
+    dead = F.col("_deleted")
+    cols += [
+        F.col("content_sha256"),
+        F.col("last_lsn").alias("_max_lsn"),
+        F.when(dead, F.col("last_lsn")).alias("_last_d_lsn"),
+        F.when(dead, F.col("last_lsn")).alias("_last_reset_lsn"),
+        dead.alias("_is_delete"),
+        F.col("row_version").alias("_applied"),
+    ]
+    return base.select(*cols)
+
+
+def resolve_deltas(base: DataFrame, deltas: DataFrame, snap: Snapshot) -> DataFrame:
+    """Resolve base ∪ deltas to the standard stored row shape — ONE hash
+    aggregation per key (associative, map-side partials, skew-tolerant
+    for the same reason the fold is)."""
+    key_cols = snap.props["key_columns"]
+    payload = _payload_cols(snap)
+    # a re-delivered batch folds to an IDENTICAL delta row (the fold is
+    # deterministic), so duplicate deliveries collapse here — the MOR
+    # counterpart of the COW staleness guard
+    deltas = deltas.dropDuplicates([*key_cols, "_max_lsn"])
+    union = _encode_base_as_delta(base, snap).unionByName(
+        deltas, allowMissingColumns=True
+    )
+
+    def ord_of(c: str) -> F.Column:
+        l = F.coalesce(F.col(f"{c}_lsn"), F.lit(NEVER))
+        return F.when(l > NEVER, l)
+
+    aggs = [
+        F.max("_max_lsn").alias("_max_lsn"),
+        F.max("_last_d_lsn").alias("_d"),
+        F.max("_last_reset_lsn").alias("_r"),
+        F.sum("_applied").alias("_rv"),
+    ]
+    for c in payload:
+        aggs.append(F.max_by(F.col(c), ord_of(c)).alias(f"_v_{c}"))
+        aggs.append(F.max(ord_of(c)).alias(f"_l_{c}"))
+    if "content" in payload:
+        # the sha cell rides the content cell's lsn
+        aggs.append(F.max_by(F.col("content_sha256"), ord_of("content")).alias("_v_sha"))
+
+    g = union.groupBy(*key_cols).agg(*aggs)
+
+    erased = F.coalesce(F.col("_d"), F.lit(NEVER))
+    floor = F.coalesce(F.col("_r"), F.lit(NEVER))
+    out: list[F.Column] = [F.col(k) for k in key_cols]
+    for c in payload:
+        l = F.coalesce(F.col(f"_l_{c}"), F.lit(NEVER))
+        alive = (l > erased) & (l >= floor)
+        out.append(F.when(alive, F.col(f"_v_{c}")).alias(c))
+    if "content" in payload:
+        l = F.coalesce(F.col("_l_content"), F.lit(NEVER))
+        alive = (l > erased) & (l >= floor)
+        out.append(F.when(alive, F.col("_v_sha")).alias("content_sha256"))
+    else:
+        out.append(F.lit(None).cast("string").alias("content_sha256"))
+    out += [
+        F.col("_max_lsn").alias("last_lsn"),
+        F.col("_rv").alias("row_version"),
+        (F.col("_d").isNotNull() & (F.col("_d") == F.col("_max_lsn"))).alias("_deleted"),
+    ]
+    resolved = g.select(*out)
+    # conform to the stored column order
+    return resolved.select(*[f.name for f in snap.schema.fields])
+
+
+def write_delta_files(table: LakeTable, folded_with_bucket: DataFrame, snap: Snapshot) -> list[FileEntry]:
+    """Append the folded batch as delta files (repartitioned to ~one
+    file per touched bucket — compaction consolidates later)."""
+    rows = delta_rows(folded_with_bucket, snap)
+    rows = rows.repartition(max(1, snap.props["n_buckets"] // 4), F.col("_bucket"))
+    entries = table.write_data_files(rows, bucket_col="_bucket", kind="delta")
+    return entries
+
+
+def delta_stats(snap: Snapshot) -> dict:
+    base_rows = sum(f.rows for f in snap.files if f.kind == "base")
+    delta_rows_ = sum(f.rows for f in snap.files if f.kind == "delta")
+    delta_files = sum(1 for f in snap.files if f.kind == "delta")
+    return {"base_rows": base_rows, "delta_rows": delta_rows_, "delta_files": delta_files}
+
+
+def compact_deltas(table: LakeTable, min_delta_rows: int = 1) -> dict:
+    """Fold all delta files into base (per-bucket resolve + rewrite).
+    Returns stats; no-op when the table carries fewer delta rows than
+    ``min_delta_rows``."""
+    snap = table.snapshot()
+    stats = delta_stats(snap)
+    if stats["delta_rows"] < min_delta_rows:
+        return {**stats, "compacted": False}
+    t0 = time.time()
+    touched = {f.bucket for f in snap.files if f.kind == "delta"}
+    resolved = table.read(buckets=touched, include_tombstones=True).withColumn(
+        "_bucket", table.bucket_expr(snap)
+    )
+    resolved = resolved.repartition(max(1, len(touched) // 2), F.col("_bucket"))
+    new_files = table.write_data_files(resolved, bucket_col="_bucket", kind="base")
+    committed = table.commit(
+        expected_version=snap.version, new_files=new_files, replaced_buckets=touched
+    )
+    return {
+        **stats,
+        "compacted": True,
+        "buckets": len(touched),
+        "snapshot_version": committed.version,
+        "wall_ms": round((time.time() - t0) * 1000, 1),
+    }

@@ -69,6 +69,7 @@ class ReplayJob:
     event_schema: T.StructType = field(default_factory=lambda: EVENT_SCHEMA)
     max_files_per_trigger: int | None = None
     salt: int | None = None
+    source_format: str = "parquet"  # or "json" (cdc/sources.py)
     #: filled as epochs apply (driver-side; one entry per foreachBatch call)
     applied: list[MergeStats] = field(default_factory=list)
 
@@ -108,6 +109,11 @@ class ReplayJob:
             self.applied.append(stats)
             return stats
 
+        import time as _time
+
+        phases: dict[str, float] = {}
+        t = _time.time()
+
         valid, dead = split_dead_letters(batch_df)
         # ONE scan quarantines dead letters (idempotent overwrite per
         # epoch); per-reason counts come from the written files' metadata
@@ -115,11 +121,16 @@ class ReplayJob:
         dead_path = os.path.join(self.dead_letter_dir, f"epoch={epoch_id}")
         dead.write.mode("overwrite").parquet(dead_path)
         dead_counts = _dead_letter_counts(dead_path)
+        phases["dead_letters_s"] = round(_time.time() - t, 2)
+        t = _time.time()
 
         # additive/widening schema evolution BEFORE the merge; its commit
         # is idempotent (re-diff after crash is empty), so it can sit
         # outside the epoch-stamped data commit safely
         evolve_table(table, valid.schema)
+        phases["evolve_s"] = round(_time.time() - t, 2)
+        t = _time.time()
+
         stats = merge_events(
             table,
             valid,
@@ -128,10 +139,28 @@ class ReplayJob:
             salt=self.salt,
             changelog_dir=self.changelog_dir if self.emit_changelog else None,
         )
+        phases["merge_s"] = round(_time.time() - t, 2)
+        t = _time.time()
         # applied-event count falls out of the merge's own bucket stats
         # (distinct lsns folded per bucket) — no extra count() pass
         stats.events_in = sum(r["events"] for r in stats.per_bucket)
-        lineage.record(stats, dead_letters=dead_counts)
+
+        # MOR housekeeping: fold deltas into base every N applied epochs
+        # (idempotent; a crash before/after just defers it). Also bounds
+        # read-time resolve cost between compactions.
+        if (
+            self.config.merge_mode == "mor"
+            and (len([s for s in self.applied if not s.skipped]) + 1)
+            % self.config.compact_every_epochs
+            == 0
+        ):
+            from etl_kafka_project_spark.cdc.mor import compact_deltas
+
+            compact_deltas(table)
+            phases["compact_s"] = round(_time.time() - t, 2)
+
+        stats.per_bucket = list(stats.per_bucket)  # lineage doc carries phases too
+        lineage.record(stats, dead_letters=dead_counts, extra={"phases": phases})
         self.applied.append(stats)
         return stats
 
@@ -144,11 +173,19 @@ class ReplayJob:
         replay shape); pass ``available_now=False`` for a continuous tail.
         ``maxFilesPerTrigger`` bounds epoch size — the analog of the
         reference's bounded drain (``kafka_interface.py:83-109``).
+        ``source_format`` selects the binlog reader (``cdc/sources.py``):
+        'parquet' (default) or 'json' (JSON-lines envelopes).
         """
-        reader = spark.readStream.schema(self.event_schema)
-        if self.max_files_per_trigger:
-            reader = reader.option("maxFilesPerTrigger", self.max_files_per_trigger)
-        events = reader.parquet(self.stream_dir)
+        from etl_kafka_project_spark.cdc import sources
+
+        if self.source_format == "json":
+            events = sources.json_binlog(
+                spark, self.stream_dir, self.event_schema, self.max_files_per_trigger
+            )
+        else:
+            events = sources.parquet_binlog(
+                spark, self.stream_dir, self.event_schema, self.max_files_per_trigger
+            )
         writer = (
             events.writeStream.queryName(f"cdc-{self.stream_id}")
             .option("checkpointLocation", os.path.join(self.checkpoint_dir, "spark"))

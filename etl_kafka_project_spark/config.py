@@ -36,9 +36,19 @@ class EngineConfig:
     salt_buckets: int = 16
     tombstone_retention_epochs: int = 10
     target_file_rows: int = 2_000_000
+    #: "mor" (default): epochs append folded delta files, resolved at
+    #: read, compacted every ``compact_every_epochs`` — O(batch) write
+    #: amplification. "cow": every epoch rewrites its touched buckets —
+    #: O(live bucket data) writes, zero read-time resolve.
+    merge_mode: str = "mor"
+    compact_every_epochs: int = 8
     extra: dict = field(default_factory=dict)
 
     def validate(self) -> "EngineConfig":
+        if self.merge_mode not in ("cow", "mor"):
+            raise ConfigError(f"merge_mode must be cow|mor, got {self.merge_mode!r}")
+        if self.compact_every_epochs < 1:
+            raise ConfigError("compact_every_epochs must be >= 1")
         if not self.key_columns:
             raise ConfigError("key_columns must be non-empty")
         if self.n_buckets < 1:

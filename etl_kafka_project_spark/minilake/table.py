@@ -50,13 +50,17 @@ class FileEntry:
     path: str  # relative to table root
     bucket: int
     rows: int
+    #: "base" = fully-resolved rows; "delta" = merge-on-read folded
+    #: actions appended by an epoch (Iceberg MOR / Paimon-LSM shape),
+    #: resolved against base at read time, folded in by compaction
+    kind: str = "base"
 
     def to_json(self) -> dict:
-        return {"path": self.path, "bucket": self.bucket, "rows": self.rows}
+        return {"path": self.path, "bucket": self.bucket, "rows": self.rows, "kind": self.kind}
 
     @staticmethod
     def from_json(d: dict) -> "FileEntry":
-        return FileEntry(d["path"], d["bucket"], d["rows"])
+        return FileEntry(d["path"], d["bucket"], d["rows"], d.get("kind", "base"))
 
 
 @dataclass(frozen=True)
@@ -196,20 +200,36 @@ class LakeTable:
         """
         snap = self.snapshot(version)
         files = [f for f in snap.files if buckets is None or f.bucket in buckets]
-        df = self._read_files(snap, files)
+        base_files = [f for f in files if f.kind == "base"]
+        delta_files = [f for f in files if f.kind == "delta"]
+        df = self._read_files(snap, base_files)
+        if delta_files:
+            # merge-on-read: resolve appended delta actions against base
+            from etl_kafka_project_spark.cdc.mor import delta_schema, resolve_deltas
+
+            deltas = self._read_files(snap, delta_files, schema=delta_schema(snap))
+            df = resolve_deltas(df, deltas, snap)
         if not include_tombstones and "_deleted" in df.columns:
             df = df.filter(~F.col("_deleted"))
         return df
 
-    def _read_files(self, snap: Snapshot, files: list[FileEntry]) -> DataFrame:
+    def _read_files(
+        self,
+        snap: Snapshot,
+        files: list[FileEntry],
+        schema: T.StructType | None = None,
+    ) -> DataFrame:
+        schema = schema or snap.schema
         if not files:
-            return self.spark.createDataFrame([], snap.schema)
+            return self.spark.createDataFrame([], schema)
         paths = [os.path.join(self.root, f.path) for f in files]
-        return self.spark.read.schema(snap.schema).parquet(*paths)
+        return self.spark.read.schema(schema).parquet(*paths)
 
     # ---------- write ----------
 
-    def write_data_files(self, df: DataFrame, bucket_col: str = "_bucket") -> list[FileEntry]:
+    def write_data_files(
+        self, df: DataFrame, bucket_col: str = "_bucket", kind: str = "base"
+    ) -> list[FileEntry]:
         """Write a DataFrame (carrying its bucket id in ``bucket_col``) as
         new data files; returns entries to pass to :meth:`commit`.
 
@@ -237,10 +257,13 @@ class LakeTable:
                     rows = pq.read_metadata(src).num_rows
                     if rows == 0:
                         continue
-                    name = f"part-{uuid.uuid4().hex}.parquet"
+                    prefix = "delta" if kind == "delta" else "part"
+                    name = f"{prefix}-{uuid.uuid4().hex}.parquet"
                     os.rename(src, os.path.join(dest_dir, name))
                     entries.append(
-                        FileEntry(path=f"data/b{bucket:05d}/{name}", bucket=bucket, rows=rows)
+                        FileEntry(
+                            path=f"data/b{bucket:05d}/{name}", bucket=bucket, rows=rows, kind=kind
+                        )
                     )
         finally:
             import shutil

@@ -82,14 +82,135 @@ FROM events GROUP BY 1, 2
 """
 
 
+def asof_latest_event_per_order(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of join (no native Spark operator): for each order, the
+    latest event of the matching user at-or-before the order date.
+    Expressed as equi-join on the key + window max over the time
+    predicate — the composition SURVEY §2.3 prescribes; at scale the
+    range key gets bucketized first. Oracle: DuckDB's native ASOF JOIN."""
+    ev = load(spark, sf, "events")
+    o = load(spark, sf, "orders").filter(F.col("o_orderkey") <= 2000)
+    j = o.join(ev, (ev.user_id == o.o_custkey) & (ev.ts <= o.o_orderdate), "inner")
+    w = Window.partitionBy("o_orderkey").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        j.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "o_orderkey",
+            F.col("user_id").alias("asof_user"),
+            F.col("event_id").alias("asof_event_id"),
+            F.col("event_type").alias("asof_event_type"),
+        )
+    )
+
+
+ASOF_SQL = """
+SELECT o_orderkey, user_id AS asof_user, event_id AS asof_event_id,
+       event_type AS asof_event_type
+FROM (
+  SELECT o_orderkey, user_id, event_id, event_type,
+         row_number() OVER (PARTITION BY o_orderkey ORDER BY ts DESC, event_id DESC) AS rk
+  FROM orders JOIN events ON user_id = o_custkey AND ts <= o_orderdate
+  WHERE o_orderkey <= 2000
+)
+WHERE rk = 1
+"""
+
+
+def sessionize(spark: SparkSession, sf: str) -> DataFrame:
+    """Sessionization: lag(ts) + cumulative sum over gap > 30 days
+    (the guide's classic window composition) — per-user session stats."""
+    ev = load(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch_s = F.unix_timestamp(F.col("ts"))
+    gap = epoch_s - F.lag(epoch_s).over(w)
+    d = ev.withColumn("new_sess", F.when(gap.isNull() | (gap > 30 * 86400), 1).otherwise(0))
+    d = d.withColumn("session_id", F.sum("new_sess").over(w))
+    return d.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+    )
+
+
+SESSIONIZE_SQL = """
+WITH g AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(epoch(ts)) OVER w IS NULL
+                   OR epoch(ts) - lag(epoch(ts)) OVER w > 30 * 86400
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM g
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end
+FROM s GROUP BY user_id, session_id
+"""
+
+
+def pivot_event_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Pivot: per-user counts per event type as columns (explicit value
+    list so the output schema is static and oracle-checkable)."""
+    ev = load(spark, sf, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .count()
+        .na.fill(0)
+        .withColumnsRenamed({t: f"n_{t}" for t in ["click", "view", "purchase", "signup", "error"]})
+    )
+
+
+PIVOT_SQL = """
+SELECT user_id,
+       count(*) FILTER (event_type = 'click')    AS n_click,
+       count(*) FILTER (event_type = 'view')     AS n_view,
+       count(*) FILTER (event_type = 'purchase') AS n_purchase,
+       count(*) FILTER (event_type = 'signup')   AS n_signup,
+       count(*) FILTER (event_type = 'error')    AS n_error
+FROM events GROUP BY user_id
+"""
+
+
+def rollup_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """ROLLUP over (status, priority): subtotal + grand-total rows."""
+    o = load(spark, sf, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+    )
+
+
+ROLLUP_SQL = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+       round(sum(o_totalprice), 2) AS total
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
 QUERIES = {
     "lww_latest_per_key": lww_latest_per_key,
     "dedup_exact_events": dedup_exact_events,
     "windowed_throughput": windowed_throughput,
+    "asof_latest_event_per_order": asof_latest_event_per_order,
+    "sessionize": sessionize,
+    "pivot_event_counts": pivot_event_counts,
+    "rollup_orders": rollup_orders,
 }
 
 ORACLES = {
     "lww_latest_per_key": LWW_SQL,
     "dedup_exact_events": DEDUP_EVENTS_SQL,
     "windowed_throughput": WINDOWED_SQL,
+    "asof_latest_event_per_order": ASOF_SQL,
+    "sessionize": SESSIONIZE_SQL,
+    "pivot_event_counts": PIVOT_SQL,
+    "rollup_orders": ROLLUP_SQL,
 }

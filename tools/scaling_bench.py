@@ -29,6 +29,17 @@ def loadavg() -> float:
     return float(open("/proc/loadavg").read().split()[0])
 
 
+def wait_for_quiet(gate: float, max_wait_s: float) -> float:
+    """The host is shared; /proc/loadavg is host-wide. Hold each trial
+    until the 1-min load drops under ``gate`` (or the wait budget runs
+    out) so walls measure the job, not the neighbors."""
+    t0 = time.time()
+    while (ld := loadavg()) > gate and time.time() - t0 < max_wait_s:
+        print(f"  host load {ld} > {gate}, waiting ...", file=sys.stderr, flush=True)
+        time.sleep(20)
+    return loadavg()
+
+
 def run_trial(cpus: int) -> dict:
     env = dict(
         os.environ,
@@ -57,12 +68,15 @@ def main() -> None:
     ap.add_argument("--trials", type=int, default=3)
     ap.add_argument("--low", type=int, default=8)
     ap.add_argument("--high", type=int, default=32)
+    ap.add_argument("--load-gate", type=float, default=4.0)
+    ap.add_argument("--max-wait", type=float, default=600.0)
     args = ap.parse_args()
 
     results: dict[int, list[dict]] = {args.low: [], args.high: []}
     for t in range(args.trials):
         for cpus in (args.low, args.high):
-            print(f"trial {t + 1}/{args.trials} local[{cpus}] (load {loadavg()}) ...",
+            ld = wait_for_quiet(args.load_gate, args.max_wait)
+            print(f"trial {t + 1}/{args.trials} local[{cpus}] (load {ld}) ...",
                   file=sys.stderr, flush=True)
             r = run_trial(cpus)
             print(f"  -> {r['wall_sec']}s, {r['events_per_sec']} ev/s", file=sys.stderr)
