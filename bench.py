@@ -54,10 +54,10 @@ BENCH_QUERIES = [
 #: Sized so one replay takes tens of seconds — short enough to repeat
 #: trials on this noisy shared host, long enough to amortize trigger cost.
 CDC_SPEC = dict(
-    n_events=200_000, n_keys=30_000, n_repos=60, n_segments=32,
+    n_events=3_200_000, n_keys=300_000, n_repos=60, n_segments=128,
     min_lines=30, max_lines=80, seed=42,
 )
-CDC_FILES_PER_TRIGGER = 8
+CDC_FILES_PER_TRIGGER = 32
 
 
 def log(msg: str) -> None:
@@ -125,13 +125,24 @@ def main() -> None:
 
     spark = build_session(
         f"local[{cpus}]",
-        shuffle_partitions=cpus,
+        # 2x cores: smooths stage tails; on a real cluster this config
+        # scales with executor count the same way
+        shuffle_partitions=int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", 2 * cpus)),
         # single local JVM hosts all "executors": size the heap for the
         # machine (128 GiB box), not Spark's 1g default
+        # measured: a 48g G1 heap is 5-6x SLOWER and wildly unstable here
+        # (region recommit/zeroing shows up as kernel time); 16g is flat
+        # and fast for this workload
         extra_conf={
-            "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
-            # shuffle/spill files on tmpfs too — see BENCH_ROOT comment
-            "spark.local.dir": os.path.join(BENCH_ROOT, "spark-local"),
+            "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"),
+            "spark.driver.extraJavaOptions": os.environ.get(
+                "SPARK_GRAFT_JAVA_OPTS", "-XX:+UseParallelGC"
+            ),
+            # shuffle/spill files on tmpfs too — see BENCH_ROOT comment.
+            # PER-PROCESS dir: Spark registers a local dir it had to
+            # create for recursive deletion at JVM shutdown, so two
+            # sessions sharing one path wipe each other's shuffle files
+            "spark.local.dir": os.path.join(BENCH_ROOT, f"spark-local-{os.getpid()}"),
         },
     )
     queries = entrymod.queries()
@@ -152,6 +163,7 @@ def main() -> None:
     log(f"cdc_replay: {timings['cdc_replay']}s ({cdc['events_per_sec']} ev/s)")
 
     spark.stop()
+    shutil.rmtree(os.path.join(BENCH_ROOT, f"spark-local-{os.getpid()}"), ignore_errors=True)
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
