@@ -66,17 +66,18 @@ FROM documents GROUP BY sha256(text)
 """
 
 
-def _minhash_cols() -> list[F.Column]:
-    return [
-        F.expr(f"array_min(transform({_GRAMS}, g -> md5(concat('{j}:', g))))").alias(f"mh{j}")
+def minhash_signatures(spark: SparkSession, sf: str) -> DataFrame:
+    """8-hash MinHash signature per document (md5 hash family).
+
+    Shingles are staged in ONE column first so the tokenizer and gram
+    builder run once per document, not once per hash function (measured
+    ~8x less expression work at sf0.1)."""
+    d = load(spark, sf, "documents").withColumn("_grams", F.expr(_GRAMS))
+    mh = [
+        F.expr(f"array_min(transform(_grams, g -> md5(concat('{j}:', g))))").alias(f"mh{j}")
         for j in range(N_HASHES)
     ]
-
-
-def minhash_signatures(spark: SparkSession, sf: str) -> DataFrame:
-    """8-hash MinHash signature per document (md5 hash family)."""
-    d = load(spark, sf, "documents")
-    return d.select("doc_id", *_minhash_cols())
+    return d.select("doc_id", *mh)
 
 
 _MH_SQL_COLS = ",\n       ".join(
