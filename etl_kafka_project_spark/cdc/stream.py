@@ -70,6 +70,13 @@ class ReplayJob:
     max_files_per_trigger: int | None = None
     salt: int | None = None
     source_format: str = "parquet"  # or "json" (cdc/sources.py)
+    #: e.g. "10 minutes": adds streaming dropDuplicatesWithinWatermark on
+    #: (key..., lsn) BEFORE foreachBatch — bounded-state cross-epoch
+    #: dedup (north star: "dropDuplicates over watermarked state"). This
+    #: closes the re-delivery window the per-batch fold can't see: a
+    #: duplicate event straddling an epoch boundary is dropped here as
+    #: long as it arrives within the watermark horizon.
+    watermark: str | None = None
     #: filled as epochs apply (driver-side; one entry per foreachBatch call)
     applied: list[MergeStats] = field(default_factory=list)
 
@@ -185,6 +192,10 @@ class ReplayJob:
         else:
             events = sources.parquet_binlog(
                 spark, self.stream_dir, self.event_schema, self.max_files_per_trigger
+            )
+        if self.watermark:
+            events = events.withWatermark("ts", self.watermark).dropDuplicatesWithinWatermark(
+                [*self.config.key_columns, self.config.lsn_column]
             )
         writer = (
             events.writeStream.queryName(f"cdc-{self.stream_id}")

@@ -138,3 +138,26 @@ def test_dead_letters_quarantined(spark, tmp_path):
     got = _final_state_pdf(_open(spark, job))
     want = replay_oracle(events).reindex(columns=got.columns)
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_watermarked_cross_epoch_dedup(spark, tmp_path):
+    """north star: dropDuplicates over watermarked state. A verbatim
+    duplicate delivered in a LATER epoch (outside the per-batch fold's
+    sight) must be dropped by the streaming dedup state."""
+    spec = StreamSpec(n_events=400, n_keys=60, n_segments=2, dup_rate=0.0,
+                      shuffle_within_segment=False, min_lines=2, max_lines=3)
+    events, segs = generate_stream(str(tmp_path / "stream"), spec)
+
+    # re-deliver 20 of segment 0's events verbatim as a third segment
+    dup = pd.read_parquet(segs[0]).head(20)
+    dup.to_parquet(str(tmp_path / "stream" / "segment-00002.parquet"))
+
+    create_code_table(spark, str(tmp_path / "table"), CFG)
+    job = _job(tmp_path, max_files_per_trigger=1, watermark="1 hour")
+    stats = job.run(spark)
+    assert len(stats) == 3
+    assert stats[2].events_in == 0  # the re-delivered epoch applied nothing
+
+    got = _final_state_pdf(_open(spark, job))
+    want = replay_oracle(events).reindex(columns=got.columns)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
