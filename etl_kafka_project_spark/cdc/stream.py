@@ -173,6 +173,10 @@ class ReplayJob:
 
     # ---------- streaming query ----------
 
+    #: continuous-tail cadence (reference EXTRACT_INTERVAL analog,
+    #: ``config.py:13``): e.g. "15 seconds" → trigger(processingTime=...)
+    processing_interval: str | None = None
+
     def start(self, spark: SparkSession, available_now: bool = True) -> StreamingQuery:
         """Start the streaming tail of ``stream_dir``.
 
@@ -204,6 +208,8 @@ class ReplayJob:
         )
         if available_now:
             writer = writer.trigger(availableNow=True)
+        elif self.processing_interval:
+            writer = writer.trigger(processingTime=self.processing_interval)
         return writer.start()
 
     def run(self, spark: SparkSession, timeout_s: float | None = None) -> list[MergeStats]:

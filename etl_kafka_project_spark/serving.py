@@ -122,6 +122,20 @@ def stream_changelog(spark: SparkSession, table_root: str) -> DataFrame:
     )
 
 
+def changelog_as_messages(feed: DataFrame, key_columns: list[str]) -> DataFrame:
+    """Encode the change feed as keyed JSON messages — the reference's
+    Kafka producer shape (``kafka_interface.py:24-44``: key = primary
+    key, value = JSON document; ``movie.py:68-81`` MovieEncoder).
+    The result has Kafka sink columns (key, value); write it with
+    ``df.write.format("kafka")`` where a broker exists, or any keyed
+    sink here."""
+    payload = [c for c in feed.columns]
+    return feed.select(
+        F.concat_ws("/", *[F.col(k) for k in key_columns]).cast("binary").alias("key"),
+        F.to_json(F.struct(*payload)).cast("binary").alias("value"),
+    )
+
+
 def latest(spark: SparkSession, table_root: str, version: int | None = None) -> DataFrame:
     """Read the (or a time-traveled) snapshot without tombstones."""
     return LakeTable(spark, table_root).read(version=version)

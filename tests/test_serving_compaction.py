@@ -135,3 +135,18 @@ def test_compaction_and_tombstone_purge(spark, tmp_path):
     assert table.read().count() == len(live_after)
     with pytest.raises(FileNotFoundError):
         table.snapshot(0)
+
+
+def test_changelog_as_kafka_messages(spark, replayed):
+    """K1 parity: the feed encodes as keyed JSON messages (the Kafka
+    producer shape, kafka_interface.py:24-44)."""
+    import json
+
+    root, _ = replayed
+    feed = serving.read_changelog(spark, root).limit(5)
+    msgs = serving.changelog_as_messages(feed, ["repo", "path"]).collect()
+    assert len(msgs) == 5
+    for m in msgs:
+        doc = json.loads(bytes(m["value"]).decode())
+        assert bytes(m["key"]).decode() == f"{doc['repo']}/{doc['path']}"
+        assert {"op", "lsn"} <= set(doc)
