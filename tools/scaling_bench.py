@@ -45,6 +45,9 @@ def run_trial(cpus: int) -> dict:
         os.environ,
         SPARK_GRAFT_BENCH_ONLY_CDC="1",
         SPARK_GRAFT_CPUS=str(cpus),
+        # the ladder uses the big stream so parallel work dominates
+        SPARK_GRAFT_BENCH_N_EVENTS="3200000",
+        SPARK_GRAFT_BENCH_N_KEYS="300000",
         PYTHONPATH=REPO,
     )
     t0 = time.time()
