@@ -1,0 +1,161 @@
+"""Additional analytic operator coverage: the SQL API surface, set
+intersection, CUBE grouping sets, exact percentiles, correlation, and
+the IVF centroid-update step (one iteration of the ANN index build —
+the iterative-algorithm shape, expressed as pure aggregation)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_kafka_project_spark.ops import load
+
+
+def sql_api_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """The same declarative plan through the SQL API (`spark.sql` over
+    temp views) — Catalyst treats it identically to the DataFrame form."""
+    load(spark, sf, "orders").createOrReplaceTempView("v_orders")
+    load(spark, sf, "customer").createOrReplaceTempView("v_customer")
+    return spark.sql(
+        """
+        SELECT c_mktsegment,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS revenue
+        FROM v_orders JOIN v_customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+        """
+    )
+
+
+SQL_API_SQL = """
+SELECT c_mktsegment, count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def shared_nations(spark: SparkSession, sf: str) -> DataFrame:
+    """INTERSECT: nations hosting both customers and suppliers."""
+    c = load(spark, sf, "customer").select(F.col("c_nationkey").alias("nationkey")).distinct()
+    s = load(spark, sf, "supplier").select(F.col("s_nationkey").alias("nationkey")).distinct()
+    return c.intersect(s)
+
+
+INTERSECT_SQL = """
+SELECT DISTINCT c_nationkey AS nationkey FROM customer
+INTERSECT
+SELECT DISTINCT s_nationkey AS nationkey FROM supplier
+"""
+
+
+def cube_order_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """CUBE over (status, priority): all grouping-set combinations."""
+    o = load(spark, sf, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.avg("o_totalprice"), 4).alias("avg_price")
+    )
+
+
+CUBE_SQL = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+       round(avg(o_totalprice), 4) AS avg_price
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+def acctbal_percentiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact interpolated percentiles per segment (Spark `percentile`
+    == DuckDB `quantile_cont`; the approx variants differ by sketch and
+    are NOT cross-engine comparable)."""
+    c = load(spark, sf, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.round(F.expr("percentile(c_acctbal, 0.25)"), 4).alias("p25"),
+        F.round(F.expr("percentile(c_acctbal, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(c_acctbal, 0.75)"), 4).alias("p75"),
+    )
+
+
+PERCENTILES_SQL = """
+SELECT c_mktsegment,
+       round(quantile_cont(c_acctbal, 0.25), 4) AS p25,
+       round(quantile_cont(c_acctbal, 0.50), 4) AS p50,
+       round(quantile_cont(c_acctbal, 0.75), 4) AS p75
+FROM customer GROUP BY c_mktsegment
+"""
+
+
+def price_quantity_correlation(spark: SparkSession, sf: str) -> DataFrame:
+    """Pearson correlation per group (statistical aggregate surface)."""
+    li = load(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_extendedprice", "l_quantity"), 6).alias("price_qty_corr"),
+        F.round(F.stddev_samp("l_quantity"), 6).alias("qty_stddev"),
+    )
+
+
+CORR_SQL = """
+SELECT l_returnflag,
+       round(corr(l_extendedprice, l_quantity), 6) AS price_qty_corr,
+       round(stddev_samp(l_quantity), 6) AS qty_stddev
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def ivf_centroid_update(spark: SparkSession, sf: str) -> DataFrame:
+    """One k-means/IVF refinement step: element-wise mean of each
+    cluster's member vectors, in long (centroid, dim) form — the
+    iterative-algorithm building block as a pure aggregation (posexplode
+    + avg; fully parallel, one shuffle)."""
+    from etl_kafka_project_spark.ops.similarity import ivf_coarse_assignment
+
+    assign = ivf_coarse_assignment(spark, sf).select("vec_id", "centroid_id")
+    e = load(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    exploded = assign.join(e, "vec_id").select(
+        "centroid_id", F.posexplode("v").alias("pos", "val")
+    )
+    return exploded.groupBy("centroid_id", (F.col("pos") + 1).alias("dim")).agg(
+        F.round(F.avg("val"), 6).alias("mean_val"),
+        F.count(F.lit(1)).alias("n_members"),
+    )
+
+
+IVF_UPDATE_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c AS (SELECT vec_id AS centroid_id, v AS c FROM e WHERE vec_id <= 3),
+scored AS (
+  SELECT vec_id, centroid_id, list_cosine_similarity(v, c) AS cos FROM e, c
+),
+assign AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT vec_id, centroid_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, centroid_id) AS rk
+    FROM scored
+  ) WHERE rk = 1
+)
+SELECT centroid_id, t.range AS dim,
+       round(avg(v[t.range]), 6) AS mean_val,
+       count(*) AS n_members
+FROM assign JOIN e USING (vec_id) CROSS JOIN range(1, 65) t
+GROUP BY centroid_id, t.range
+"""
+
+
+QUERIES = {
+    "sql_api_revenue": sql_api_revenue,
+    "shared_nations": shared_nations,
+    "cube_order_stats": cube_order_stats,
+    "acctbal_percentiles": acctbal_percentiles,
+    "price_quantity_correlation": price_quantity_correlation,
+    "ivf_centroid_update": ivf_centroid_update,
+}
+
+ORACLES = {
+    "sql_api_revenue": SQL_API_SQL,
+    "shared_nations": INTERSECT_SQL,
+    "cube_order_stats": CUBE_SQL,
+    "acctbal_percentiles": PERCENTILES_SQL,
+    "price_quantity_correlation": CORR_SQL,
+    "ivf_centroid_update": IVF_UPDATE_SQL,
+}
