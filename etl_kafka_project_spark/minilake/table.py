@@ -54,13 +54,33 @@ class FileEntry:
     #: actions appended by an epoch (Iceberg MOR / Paimon-LSM shape),
     #: resolved against base at read time, folded in by compaction
     kind: str = "base"
+    #: per-column [min, max] harvested FREE from the parquet footer at
+    #: write time — the Iceberg manifest-stats analog. Lets `read()`
+    #: prune files against equality/range predicates without opening
+    #: them (at 100 TB this skips file opens, not just row groups).
+    stats: dict | None = None
 
     def to_json(self) -> dict:
-        return {"path": self.path, "bucket": self.bucket, "rows": self.rows, "kind": self.kind}
+        d = {"path": self.path, "bucket": self.bucket, "rows": self.rows, "kind": self.kind}
+        if self.stats:
+            d["stats"] = self.stats
+        return d
 
     @staticmethod
     def from_json(d: dict) -> "FileEntry":
-        return FileEntry(d["path"], d["bucket"], d["rows"], d.get("kind", "base"))
+        return FileEntry(
+            d["path"], d["bucket"], d["rows"], d.get("kind", "base"), d.get("stats")
+        )
+
+    def might_contain(self, col: str, value) -> bool:
+        """Manifest pruning check: False only when the file's stats PROVE
+        the value is absent; missing stats keep the file (safe)."""
+        if not self.stats or col not in self.stats:
+            return True
+        lo, hi = self.stats[col]
+        if lo is None or hi is None:
+            return True
+        return lo <= value <= hi
 
 
 @dataclass(frozen=True)
@@ -98,6 +118,37 @@ class Snapshot:
             props=d.get("props", {}),
             ts=d.get("ts", 0.0),
         )
+
+
+def _footer_stats(meta, columns: list[str]) -> dict | None:
+    """[min, max] per requested column from a parquet footer (free: the
+    footer is already read for the row count). Strings/ints/floats only;
+    columns without complete footer stats are skipped (pruning stays
+    safe — missing stats keep the file)."""
+    if not columns:
+        return None
+    out: dict[str, list] = {}
+    wanted = set(columns)
+    for rg in range(meta.num_row_groups):
+        for ci in range(meta.num_columns):
+            col = meta.row_group(rg).column(ci)
+            name = col.path_in_schema
+            if name not in wanted:
+                continue
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                out[name] = [None, None]
+                continue
+            mn, mx = st.min, st.max
+            if isinstance(mn, bytes):
+                mn, mx = mn.decode("utf-8", "replace"), mx.decode("utf-8", "replace")
+            cur = out.get(name)
+            if cur is None or cur == [None, None]:
+                out[name] = [mn, mx] if cur is None else [None, None]
+            elif cur[0] is not None:
+                out[name] = [min(cur[0], mn), max(cur[1], mx)]
+    cleaned = {k: v for k, v in out.items() if v[0] is not None}
+    return cleaned or None
 
 
 def _atomic_write_json(path: str, payload: dict) -> None:
@@ -190,16 +241,26 @@ class LakeTable:
         version: int | None = None,
         buckets: set[int] | None = None,
         include_tombstones: bool = False,
+        key_equals: dict | None = None,
     ) -> DataFrame:
         """Read a snapshot (optionally a past version / a bucket subset).
 
         Bucket pruning is the engine's partition pruning: a MERGE reads
-        only the buckets its batch touches. Files are read with the
-        snapshot's (possibly evolved) schema — added columns null-fill,
-        widened types promote, courtesy of the parquet reader.
+        only the buckets its batch touches. ``key_equals`` (col → value)
+        additionally prunes FILES whose manifest [min, max] stats prove
+        the value absent (Iceberg manifest pruning) and applies the same
+        equality as a pushed filter on the survivors. Files are read with
+        the snapshot's (possibly evolved) schema — added columns
+        null-fill, widened types promote, courtesy of the parquet reader.
         """
         snap = self.snapshot(version)
         files = [f for f in snap.files if buckets is None or f.bucket in buckets]
+        if key_equals:
+            files = [
+                f
+                for f in files
+                if all(f.might_contain(c, v) for c, v in key_equals.items())
+            ]
         base_files = [f for f in files if f.kind == "base"]
         delta_files = [f for f in files if f.kind == "delta"]
         df = self._read_files(snap, base_files)
@@ -209,6 +270,9 @@ class LakeTable:
 
             deltas = self._read_files(snap, delta_files, schema=delta_schema(snap))
             df = resolve_deltas(df, deltas, snap)
+        if key_equals:
+            for c, v in key_equals.items():
+                df = df.filter(F.col(c) == F.lit(v))
         if not include_tombstones and "_deleted" in df.columns:
             df = df.filter(~F.col("_deleted"))
         return df
@@ -228,7 +292,11 @@ class LakeTable:
     # ---------- write ----------
 
     def write_data_files(
-        self, df: DataFrame, bucket_col: str = "_bucket", kind: str = "base"
+        self,
+        df: DataFrame,
+        bucket_col: str = "_bucket",
+        kind: str = "base",
+        stats_columns: list[str] | None = None,
     ) -> list[FileEntry]:
         """Write a DataFrame (carrying its bucket id in ``bucket_col``) as
         new data files; returns entries to pass to :meth:`commit`.
@@ -236,8 +304,15 @@ class LakeTable:
         The caller controls parallelism by repartitioning before the call
         (e.g. salted repartition for write-skew, ``cdc/salting.py``).
         Files are written by Spark directly into a staging dir, then moved
-        (same-filesystem rename) under ``data/``.
+        (same-filesystem rename) under ``data/``. Per-file [min, max] for
+        ``stats_columns`` (default: the key columns) are lifted from the
+        parquet footers into the manifest for read-time file pruning.
         """
+        if stats_columns is None:
+            try:
+                stats_columns = list(self.snapshot().props["key_columns"])
+            except FileNotFoundError:
+                stats_columns = []
         staging = os.path.join(self.root, f"_staging-{uuid.uuid4().hex}")
         df.write.partitionBy(bucket_col).mode("overwrite").parquet(staging)
         entries: list[FileEntry] = []
@@ -254,15 +329,21 @@ class LakeTable:
                     if not fn.endswith(".parquet"):
                         continue
                     src = os.path.join(staging, bucket_dir, fn)
-                    rows = pq.read_metadata(src).num_rows
+                    meta = pq.read_metadata(src)
+                    rows = meta.num_rows
                     if rows == 0:
                         continue
+                    stats = _footer_stats(meta, stats_columns)
                     prefix = "delta" if kind == "delta" else "part"
                     name = f"{prefix}-{uuid.uuid4().hex}.parquet"
                     os.rename(src, os.path.join(dest_dir, name))
                     entries.append(
                         FileEntry(
-                            path=f"data/b{bucket:05d}/{name}", bucket=bucket, rows=rows, kind=kind
+                            path=f"data/b{bucket:05d}/{name}",
+                            bucket=bucket,
+                            rows=rows,
+                            kind=kind,
+                            stats=stats,
                         )
                     )
         finally:

@@ -96,3 +96,39 @@ def test_schema_evolution_add_and_widen(spark, tmp_table_dir):
     assert dict(out.dtypes)["n"] == "bigint"
     row = out.collect()[0]
     assert row.n == 1 and row.author is None
+
+
+def test_manifest_stats_pruning(spark, tmp_table_dir):
+    """Iceberg-parity manifest pruning: per-file key [min,max] stats are
+    harvested from parquet footers at write time, and a key-equality read
+    prunes files whose stats prove the key absent."""
+    from etl_kafka_project_spark.cdc.envelope import EVENT_SCHEMA
+    from etl_kafka_project_spark.cdc.fixtures import StreamSpec, generate_events
+    from etl_kafka_project_spark.cdc.merge import create_code_table, merge_events
+    from etl_kafka_project_spark.config import EngineConfig
+
+    cfg = EngineConfig(n_buckets=4, merge_mode="cow")
+    events = generate_events(StreamSpec(n_events=600, n_keys=80, min_lines=2, max_lines=3))
+    table = create_code_table(spark, tmp_table_dir, cfg)
+    merge_events(table, spark.createDataFrame(events, EVENT_SCHEMA), cfg, epoch=("t", 0))
+
+    snap = table.snapshot()
+    assert all(f.stats and "repo" in f.stats for f in snap.files)
+
+    # pick a real key; its bucket holds ~20 keys across 1 file — pruning
+    # must keep files that might contain it and return exactly its row
+    live = table.read()
+    row = live.orderBy("repo", "path").first()
+    pruned = table.read(key_equals={"repo": row["repo"], "path": row["path"]})
+    got = pruned.collect()
+    assert len(got) == 1 and got[0]["content"] == row["content"]
+
+    # a key lexically outside every file's range prunes ALL files →
+    # empty scan without opening anything
+    none = table.read(key_equals={"repo": "zzzz-no-such-repo"})
+    assert none.count() == 0
+    kept = [
+        f for f in snap.files
+        if f.might_contain("repo", "zzzz-no-such-repo")
+    ]
+    assert len(kept) == 0  # manifest stats alone proved absence
