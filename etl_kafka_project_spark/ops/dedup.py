@@ -160,7 +160,9 @@ bits AS (
 ),
 per_bit AS (SELECT doc_id, k, sum(contrib) AS s FROM bits GROUP BY doc_id, k)
 SELECT doc_id,
-       sum(CASE WHEN s > 0 THEN CAST(power(2, k) AS BIGINT) ELSE 0 END) AS simhash16
+       -- outer CAST: DuckDB sum(BIGINT) -> HUGEINT -> float64 in fetchdf(),
+       -- which hash-mismatches Spark's int64; cast back to BIGINT
+       CAST(sum(CASE WHEN s > 0 THEN CAST(power(2, k) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash16
 FROM per_bit GROUP BY doc_id
 """
 

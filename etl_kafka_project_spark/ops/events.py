@@ -83,21 +83,35 @@ FROM events GROUP BY 1, 2
 
 
 def asof_latest_event_per_order(spark: SparkSession, sf: str) -> DataFrame:
-    """As-of join (no native Spark operator): for each order, the
-    latest event of the matching user at-or-before the order date.
-    Expressed as equi-join on the key + window max over the time
-    predicate — the composition SURVEY §2.3 prescribes; at scale the
-    range key gets bucketized first. Oracle: DuckDB's native ASOF JOIN."""
+    """As-of join (no native Spark operator): for each *purchase* event,
+    the latest STRICTLY EARLIER event of the same user (any type) — i.e.
+    "what was this user doing right before they bought". Expressed as
+    equi-join on the key + row_number over the time predicate — the
+    composition SURVEY §2.3 prescribes; at scale the range key gets
+    bucketized first. Both sides come from the ``events`` table so every
+    purchase after a user's first event matches (the round-1 orders×events
+    version was vacuously empty: orders end 1998, events start 2024)."""
     ev = load(spark, sf, "events")
-    o = load(spark, sf, "orders").filter(F.col("o_orderkey") <= 2000)
-    j = o.join(ev, (ev.user_id == o.o_custkey) & (ev.ts <= o.o_orderdate), "inner")
-    w = Window.partitionBy("o_orderkey").orderBy(F.desc("ts"), F.desc("event_id"))
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("p_event_id"), F.col("ts").alias("p_ts")
+    )
+    prior = ev.select("user_id", "event_id", "ts", "event_type")
+    j = purchases.join(
+        prior,
+        (purchases.user_id == prior.user_id)
+        & (
+            (prior.ts < purchases.p_ts)
+            | ((prior.ts == purchases.p_ts) & (prior.event_id < purchases.p_event_id))
+        ),
+        "inner",
+    ).drop(prior.user_id)
+    w = Window.partitionBy("p_event_id").orderBy(F.desc("ts"), F.desc("event_id"))
     return (
         j.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") == 1)
         .select(
-            "o_orderkey",
-            F.col("user_id").alias("asof_user"),
+            "p_event_id",
+            "user_id",
             F.col("event_id").alias("asof_event_id"),
             F.col("event_type").alias("asof_event_type"),
         )
@@ -105,15 +119,52 @@ def asof_latest_event_per_order(spark: SparkSession, sf: str) -> DataFrame:
 
 
 ASOF_SQL = """
-SELECT o_orderkey, user_id AS asof_user, event_id AS asof_event_id,
-       event_type AS asof_event_type
+SELECT p_event_id, user_id, asof_event_id, asof_event_type
 FROM (
-  SELECT o_orderkey, user_id, event_id, event_type,
-         row_number() OVER (PARTITION BY o_orderkey ORDER BY ts DESC, event_id DESC) AS rk
-  FROM orders JOIN events ON user_id = o_custkey AND ts <= o_orderdate
-  WHERE o_orderkey <= 2000
+  SELECT p.event_id AS p_event_id, p.user_id,
+         e.event_id AS asof_event_id, e.event_type AS asof_event_type,
+         row_number() OVER (PARTITION BY p.event_id
+                            ORDER BY e.ts DESC, e.event_id DESC) AS rk
+  FROM events p JOIN events e
+    ON e.user_id = p.user_id
+   AND (e.ts < p.ts OR (e.ts = p.ts AND e.event_id < p.event_id))
+  WHERE p.event_type = 'purchase'
 )
 WHERE rk = 1
+"""
+
+
+def clicks_without_purchase(spark: SparkSession, sf: str) -> DataFrame:
+    """Anti-join with a guaranteed-non-empty result: (user, day) pairs
+    that saw clicks but NO purchase that day — the value-checked twin of
+    ``customers_without_orders``/``customer_only_nations``, which are
+    structurally 0-row on the TPC-H-ish testdata (every customer has
+    orders). Same left_anti plan shape, real rows hashed."""
+    ev = load(spark, sf, "events").withColumn(
+        "day", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").groupBy("user_id", "day").agg(
+        F.count(F.lit(1)).alias("n_clicks")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "day").distinct()
+    return clicks.join(purchases, ["user_id", "day"], "left_anti")
+
+
+CLICKS_NO_PURCHASE_SQL = """
+WITH ev AS (
+  SELECT user_id, event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day
+  FROM events
+),
+clicks AS (
+  SELECT user_id, day, count(*) AS n_clicks FROM ev
+  WHERE event_type = 'click' GROUP BY user_id, day
+)
+SELECT c.user_id, c.day, c.n_clicks
+FROM clicks c
+WHERE NOT EXISTS (
+  SELECT 1 FROM ev p
+  WHERE p.event_type = 'purchase' AND p.user_id = c.user_id AND p.day = c.day
+)
 """
 
 
@@ -143,9 +194,12 @@ WITH g AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
 s AS (
+  -- CAST: DuckDB sum() over integers yields HUGEINT, which fetchdf()
+  -- materializes as float64 and the driver's value hash then mismatches
+  -- Spark's int64 — cast back so both engines hash the same longs
   SELECT user_id, ts,
-         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                             ROWS UNBOUNDED PRECEDING) AS session_id
+         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
   FROM g
 )
 SELECT user_id, session_id, count(*) AS n_events,
@@ -200,6 +254,7 @@ QUERIES = {
     "dedup_exact_events": dedup_exact_events,
     "windowed_throughput": windowed_throughput,
     "asof_latest_event_per_order": asof_latest_event_per_order,
+    "clicks_without_purchase": clicks_without_purchase,
     "sessionize": sessionize,
     "pivot_event_counts": pivot_event_counts,
     "rollup_orders": rollup_orders,
@@ -210,6 +265,7 @@ ORACLES = {
     "dedup_exact_events": DEDUP_EVENTS_SQL,
     "windowed_throughput": WINDOWED_SQL,
     "asof_latest_event_per_order": ASOF_SQL,
+    "clicks_without_purchase": CLICKS_NO_PURCHASE_SQL,
     "sessionize": SESSIONIZE_SQL,
     "pivot_event_counts": PIVOT_SQL,
     "rollup_orders": ROLLUP_SQL,

@@ -75,8 +75,13 @@ def extract_binary_features(df: DataFrame) -> DataFrame:
                     "first_byte": payloads.map(lambda b: b[0] if len(b) else -1).astype(
                         "int32"
                     ),
+                    # unrounded: the byte sum is an exact integer in
+                    # float64 and both engines divide the same operands,
+                    # so the doubles are bit-identical — rounding would
+                    # ADD a tie-breaking hazard (banker's vs half-away)
                     "mean_byte": payloads.map(
-                        lambda b: round(float(np.frombuffer(b, dtype=np.uint8).mean()), 6)
+                        lambda b: float(np.frombuffer(b, dtype=np.uint8).sum(dtype="int64"))
+                        / len(b)
                         if len(b)
                         else 0.0
                     ),
@@ -107,9 +112,24 @@ FROM documents
 
 
 def multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
-    """Pandas-UDF feature extraction (rows-only check: the mapInPandas
-    path is not SQL-expressible; unit tests pin its values instead)."""
+    """Pandas-UDF feature extraction via ``mapInPandas`` — value-checked
+    against a DuckDB oracle: the payloads are utf-8-packed ASCII text, so
+    byte stats are expressible SQL-side as codepoint stats (verified
+    octet_length(encode(text)) == len(text) on all testdata sfs)."""
     return extract_binary_features(pack_binary(load(spark, sf, "documents")))
+
+
+MULTIMODAL_FEATURES_SQL = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+       CAST(CASE WHEN len(text) = 0 THEN -1
+                 ELSE ascii(substr(text, 1, 1)) END AS INTEGER) AS first_byte,
+       CASE WHEN len(text) = 0 THEN 0.0
+            ELSE list_sum(list_transform(range(1, len(text) + 1),
+                                         i -> ascii(text[i])))
+                 / CAST(len(text) AS DOUBLE) END AS mean_byte
+FROM documents
+"""
 
 
 QUERIES = {
@@ -119,5 +139,5 @@ QUERIES = {
 
 ORACLES = {
     "multimodal_meta": MULTIMODAL_META_SQL,
-    # multimodal_features intentionally has no oracle (mapInPandas surface)
+    "multimodal_features": MULTIMODAL_FEATURES_SQL,
 }
