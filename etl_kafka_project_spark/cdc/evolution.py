@@ -24,8 +24,12 @@ from pyspark.sql import types as T
 
 from etl_kafka_project_spark.minilake.table import LakeTable, Snapshot
 
-#: envelope columns never stored in the table
-ENVELOPE_COLS = ("lsn", "op", "ts", "_raw")
+#: envelope columns never stored in the table: the change-event
+#: authority fields plus source-reader metadata (`_raw` from the JSON
+#: reader, `_source` the topic tag added by sources.kafka_binlog /
+#: union_sources) — without `_source` here, the first unioned/Kafka
+#: batch would permanently evolve a junk column into the table schema
+ENVELOPE_COLS = ("lsn", "op", "ts", "_raw", "_source")
 
 #: safe widening lattice: a stored narrow type may be promoted to any type
 #: later in its chain when a batch arrives with the wider type.

@@ -125,9 +125,28 @@ def fold_batch(
         aggs += cell_aggs(c)
 
     if salt is None:
-        folded = events.groupBy(*key_columns).agg(
-            *aggs, F.size(F.collect_set(F.col(lsn_col))).alias("_applied")
+        # _applied = exact count of DISTINCT lsns per key, computed on a
+        # NARROW (key, lsn) projection as a two-phase hash aggregation:
+        # phase 1 groups by (key, lsn) — map-side partials dedup
+        # verbatim replay duplicates locally AND spread a hot key across
+        # reducers by lsn — phase 2 counts per key. Both phases are
+        # spillable hash aggregates over ~16-byte rows. (Round 1 used
+        # size(collect_set(lsn)) here, whose single non-spillable
+        # aggregation buffer grows O(events-per-key) on the reducer —
+        # exactly the hot-key OOM the fold's design is meant to avoid.
+        # count_distinct in the SAME agg is no better: mixing it with
+        # max_by flips the whole wide-payload fold to a SortAggregate.)
+        applied = (
+            events.select(*key_columns, lsn_col)
+            .groupBy(*key_columns, lsn_col)
+            .agg(F.lit(1))
+            .groupBy(*key_columns)
+            .agg(F.count(F.lit(1)).alias("_applied"))
         )
+        wide = events.groupBy(*key_columns).agg(*aggs)
+        # per-key inner join of two already-key-partitioned singleton
+        # frames — no wide data moves
+        folded = wide.join(applied, key_columns, "inner")
     else:
         # Two-phase salted aggregation for the pathological
         # one-key-dominates-the-batch case: partial per (key, salt), then

@@ -115,11 +115,15 @@ def merge_folded(
     """MERGE a folded batch (output of ``fold_batch``) into the table.
 
     ``changelog_dir``: if set (and an epoch id is given), the batch's
-    resolved per-key actions are appended as an outbound change feed —
+    FOLDED per-key actions are appended as an outbound change feed —
     the analog of the reference's Redis pub/sub ``movie_updates`` channel
     (``redis_interface.py:121-123``), consumable batch or streaming
-    (``serving.py``). Written idempotently per epoch (overwrite) BEFORE
-    the data commit, so a crash-retry regenerates identical content.
+    (``serving.py``). Unlike the reference (which publishes full merged
+    documents), the feed is a partial-update stream: per-column write
+    lsns + the reset barrier make "unchanged" vs "set to null"
+    distinguishable (see the consumer contract at the write site below).
+    Written idempotently per epoch (overwrite) BEFORE the data commit,
+    so a crash-retry regenerates identical content.
     """
     t0 = time.time()
     snap = table.snapshot()
@@ -143,6 +147,10 @@ def merge_folded(
                 F.sum("_applied").alias("events"),
                 F.min("_max_lsn").alias("min_lsn"),
                 F.max("_max_lsn").alias("max_lsn"),
+                # hottest key's event count — drives the stream's
+                # adaptive salting (config.hot_key_threshold); free,
+                # same job as the pruning/lineage stats
+                F.max("_applied").alias("max_key_events"),
             )
             .collect()
         )
@@ -166,11 +174,29 @@ def merge_folded(
             )
 
         if changelog_dir is not None and epoch is not None:
+            # The feed publishes the batch's FOLDED per-key actions, not
+            # post-merge resolved documents — O(batch) work, no extra
+            # table read. To make partial updates applicable without
+            # clobbering untouched columns with nulls, each payload
+            # column ships its write-lsn (`{c}_lsn`, null = this batch
+            # did not write the column) plus the reset barrier
+            # (`reset_lsn`: an I/D at that lsn nulls every column whose
+            # stored write is older). Consumer contract, per key in lsn
+            # order: if op='D' delete; else for each column with
+            # non-null {c}_lsn newer than the consumer's stored cell,
+            # take the value; then null out any stored cell older than
+            # reset_lsn. Applying the feed this way reproduces the
+            # table's resolved rows exactly (cdc/fold.py semantics).
             feed = folded.select(
                 *key_cols,
                 F.when(F.col("_is_delete"), F.lit("D")).otherwise(F.lit("U")).alias("op"),
                 F.col("_max_lsn").alias("lsn"),
+                F.col("_last_reset_lsn").alias("reset_lsn"),
                 *payload_cols,
+                *[
+                    F.when(F.col(f"{c}_lsn") > NEVER, F.col(f"{c}_lsn")).alias(f"{c}_lsn")
+                    for c in payload_cols
+                ],
             )
             feed.write.mode("overwrite").parquet(
                 os.path.join(changelog_dir, f"epoch={epoch[1]}")

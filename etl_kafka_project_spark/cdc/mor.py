@@ -63,18 +63,28 @@ def delta_schema(snap: Snapshot) -> T.StructType:
         T.StructField("_last_reset_lsn", T.LongType(), True),
         T.StructField("_is_delete", T.BooleanType(), True),
         T.StructField("_applied", T.LongType(), True),
+        # commit-order stamp (the writing commit's parent snapshot
+        # version): lets the resolve detect cross-epoch re-delivery —
+        # a delta row whose _max_lsn is not newer than everything an
+        # EARLIER commit applied is a verbatim re-delivery and must not
+        # re-count row_version (the MOR analog of the COW staleness
+        # guard). Old delta files null-fill; nulls sort first, i.e.
+        # "oldest", which is the conservative direction.
+        T.StructField("_writer_version", T.LongType(), True),
     ]
     return T.StructType(fields)
 
 
-def delta_rows(folded: DataFrame, snap: Snapshot) -> DataFrame:
+def delta_rows(folded: DataFrame, snap: Snapshot, writer_version: int) -> DataFrame:
     """Fold output → storable delta rows (adds the batch's content sha,
-    tied to the content cell's lsn)."""
+    tied to the content cell's lsn, and the commit-order stamp)."""
     if "content" in _payload_cols(snap):
         sha = F.when(F.col("content_lsn") > NEVER, F.sha2(F.col("content"), 256))
     else:
         sha = F.lit(None).cast("string")
-    out = folded.withColumn("content_sha256", sha)
+    out = folded.withColumn("content_sha256", sha).withColumn(
+        "_writer_version", F.lit(writer_version).cast("long")
+    )
     cols = [f.name for f in delta_schema(snap).fields]
     extra = [c for c in out.columns if c not in cols]  # e.g. _bucket
     return out.select(*cols, *extra)
@@ -99,22 +109,57 @@ def _encode_base_as_delta(base: DataFrame, snap: Snapshot) -> DataFrame:
         F.when(dead, F.col("last_lsn")).alias("_last_reset_lsn"),
         dead.alias("_is_delete"),
         F.col("row_version").alias("_applied"),
+        # base precedes every live delta in commit order
+        F.lit(-1).cast("long").alias("_writer_version"),
     ]
     return base.select(*cols)
 
 
 def resolve_deltas(base: DataFrame, deltas: DataFrame, snap: Snapshot) -> DataFrame:
-    """Resolve base ∪ deltas to the standard stored row shape — ONE hash
-    aggregation per key (associative, map-side partials, skew-tolerant
-    for the same reason the fold is)."""
+    """Resolve base ∪ deltas to the standard stored row shape — one
+    window pass (stale-re-delivery detection) + ONE hash aggregation per
+    key (associative, skew-tolerant for the same reason the fold is).
+
+    Re-delivery handling — the MOR counterpart of the COW staleness
+    guard (``cdc/merge.py``: ``s._max_lsn <= t.last_lsn`` keeps ``t``):
+    a delta row whose ``_max_lsn`` is not newer than the running max of
+    every EARLIER commit's ``_max_lsn`` for that key (base counts as the
+    earliest) is, under the delivery contract, a verbatim re-delivery of
+    already-applied events. Its value cells are exact duplicates of the
+    originals (``max_by`` ties carry identical values — tie-safe), so
+    only its ``_applied`` count must be suppressed; dropping whole rows
+    on ``(key, _max_lsn)`` — the round-1 behavior — was WRONG when a
+    later commit re-delivered a *subset* of a key's events: it could
+    nondeterministically keep the subset row and silently lose the
+    superset's column writes.
+    """
+    from pyspark.sql import Window
+
     key_cols = snap.props["key_columns"]
     payload = _payload_cols(snap)
-    # a re-delivered batch folds to an IDENTICAL delta row (the fold is
-    # deterministic), so duplicate deliveries collapse here — the MOR
-    # counterpart of the COW staleness guard
-    deltas = deltas.dropDuplicates([*key_cols, "_max_lsn"])
     union = _encode_base_as_delta(base, snap).unionByName(
         deltas, allowMissingColumns=True
+    )
+    # Running max of _max_lsn over strictly-earlier commits per key.
+    # The window shuffles by key — the SAME partitioning the groupBy
+    # below needs, so Catalyst plans one exchange, and per-key groups
+    # are tiny (one row per commit that touched the key).
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(F.col("_writer_version").asc_nulls_first())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prior_max = F.max("_max_lsn").over(w)
+    # only stamped delta rows (version >= 0) can be stale: the encoded
+    # base (-1) is the earliest by construction, and legacy unstamped
+    # deltas (null) fall back to the round-1 behavior (never suppressed)
+    stale_redelivery = (
+        F.col("_writer_version").isNotNull()
+        & (F.col("_writer_version") >= 0)
+        & (F.col("_max_lsn") <= F.coalesce(prior_max, F.lit(NEVER)))
+    )
+    union = union.withColumn(
+        "_applied", F.when(stale_redelivery, F.lit(0)).otherwise(F.col("_applied"))
     )
 
     def ord_of(c: str) -> F.Column:
@@ -161,8 +206,11 @@ def resolve_deltas(base: DataFrame, deltas: DataFrame, snap: Snapshot) -> DataFr
 
 def write_delta_files(table: LakeTable, folded_with_bucket: DataFrame, snap: Snapshot) -> list[FileEntry]:
     """Append the folded batch as delta files (repartitioned to ~one
-    file per touched bucket — compaction consolidates later)."""
-    rows = delta_rows(folded_with_bucket, snap)
+    file per touched bucket — compaction consolidates later). Rows are
+    stamped with the parent snapshot version as the commit-order
+    authority for re-delivery detection (commits serialize, so the
+    parent version is strictly increasing across applied epochs)."""
+    rows = delta_rows(folded_with_bucket, snap, writer_version=snap.version)
     rows = rows.repartition(max(1, snap.props["n_buckets"] // 4), F.col("_bucket"))
     entries = table.write_data_files(rows, bucket_col="_bucket", kind="delta")
     return entries

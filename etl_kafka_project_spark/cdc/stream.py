@@ -166,6 +166,20 @@ class ReplayJob:
             compact_deltas(table)
             phases["compact_s"] = round(_time.time() - t, 2)
 
+        # Adaptive hot-key salting (AQE-style, reactive): the merge's
+        # per-bucket stats carry the hottest key's folded event count for
+        # free; once it crosses config.hot_key_threshold, subsequent
+        # epochs fold via the two-phase salted aggregation. The epoch
+        # that DETECTED the skew already folded correctly (the plain
+        # fold is skew-tolerant via map-side partials) — salting only
+        # buys the pathological single-dominant-key + wide-payload case.
+        hot = max(
+            (r.get("max_key_events") or 0 for r in stats.per_bucket), default=0
+        )
+        if self.salt is None and hot >= self.config.hot_key_threshold:
+            self.salt = self.config.salt_buckets
+            phases["salted_from_next_epoch"] = self.salt
+
         stats.per_bucket = list(stats.per_bucket)  # lineage doc carries phases too
         lineage.record(stats, dead_letters=dead_counts, extra={"phases": phases})
         self.applied.append(stats)

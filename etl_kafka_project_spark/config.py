@@ -23,9 +23,14 @@ class EngineConfig:
     analog. At 100 TB / 1000 executors this would be in the thousands; in
     the 32-core sandbox the default 32 keeps one bucket per core.
 
-    ``hot_key_threshold`` is the per-batch event count above which a key is
-    treated as skewed and folded via the two-phase salted aggregation
-    (``cdc/fold.py``); ``salt_buckets`` is the fan-out of phase one.
+    ``hot_key_threshold`` is the per-batch event count above which a key
+    is treated as skewed: when a ``ReplayJob`` epoch's per-bucket stats
+    (collected for free with the lineage metrics) show a key at or above
+    it, subsequent epochs fold via the two-phase salted aggregation
+    (``cdc/fold.py``; reactive AQE-style detection — see
+    ``cdc/stream.py``). Callers can still force salting up front with
+    ``ReplayJob.salt`` / ``merge_events(salt=...)``. ``salt_buckets`` is
+    the fan-out of phase one.
     """
 
     key_columns: tuple[str, ...] = ("repo", "path")

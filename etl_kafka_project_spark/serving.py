@@ -122,6 +122,33 @@ def stream_changelog(spark: SparkSession, table_root: str) -> DataFrame:
     )
 
 
+def apply_changelog(
+    feed: DataFrame, key_columns: list[str], payload_columns: list[str]
+) -> DataFrame:
+    """Fold the change feed into the final live state — the reference
+    consumer contract (``cdc/merge.py`` write site) made executable: per
+    column, the newest write (``max_by`` over ``{c}_lsn``) wins, writes
+    at or below a newer reset barrier die, and keys whose newest action
+    is a delete drop. Equals ``LakeTable.read()`` of the merged table
+    (proved in test_serving_compaction), so a downstream keyed sink that
+    applies the feed this way stays byte-identical to the lake."""
+    d_lsn = F.max(F.when(F.col("op") == "D", F.col("lsn"))).alias("_d")
+    aggs = [F.max("lsn").alias("last_lsn"), d_lsn, F.max("reset_lsn").alias("_r")]
+    for c in payload_columns:
+        aggs.append(F.max_by(F.col(c), F.col(f"{c}_lsn")).alias(f"_v_{c}"))
+        aggs.append(F.max(f"{c}_lsn").alias(f"_l_{c}"))
+    g = feed.groupBy(*key_columns).agg(*aggs)
+    live = ~(F.col("_d").isNotNull() & (F.col("_d") == F.col("last_lsn")))
+    erased = F.coalesce(F.col("_d"), F.lit(-1))
+    floor = F.coalesce(F.col("_r"), F.lit(-1))
+    out = [F.col(k) for k in key_columns]
+    for c in payload_columns:
+        l = F.coalesce(F.col(f"_l_{c}"), F.lit(-1))
+        out.append(F.when((l > erased) & (l >= floor), F.col(f"_v_{c}")).alias(c))
+    out.append(F.col("last_lsn"))
+    return g.filter(live).select(*out)
+
+
 def changelog_as_messages(feed: DataFrame, key_columns: list[str]) -> DataFrame:
     """Encode the change feed as keyed JSON messages — the reference's
     Kafka producer shape (``kafka_interface.py:24-44``: key = primary

@@ -117,3 +117,29 @@ def test_align_events_nullfills_and_casts(spark):
     row = out.first()
     assert row["lang"] is None and row["size"] == 3
     assert dict(out.dtypes)["size"] == "bigint"
+
+
+def test_source_tag_is_envelope_not_payload():
+    """`_source` (the topic tag from sources.kafka_binlog/union_sources)
+    must never evolve into the table schema as a payload column."""
+    from pyspark.sql import types as T
+
+    from etl_kafka_project_spark.cdc.evolution import diff_schemas
+    from etl_kafka_project_spark.cdc.merge import table_schema
+
+    batch = T.StructType(
+        [
+            T.StructField("lsn", T.LongType()),
+            T.StructField("op", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("repo", T.StringType()),
+            T.StructField("path", T.StringType()),
+            T.StructField("commit", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("content", T.StringType()),
+            T.StructField("_source", T.StringType()),
+            T.StructField("_raw", T.StringType()),
+        ]
+    )
+    plan = diff_schemas(table_schema(), batch)
+    assert plan.added == [] and plan.widened == [] and plan.incompatible == []

@@ -89,3 +89,47 @@ def test_sha256_invariant_pandas_udf_equals_builtin(spark, tmp_table_dir):
         ~df.sha_udf.eqNullSafe(df.content_sha256)
     ).count()
     assert bad == 0
+
+
+def test_mor_cross_epoch_subset_redelivery(spark, tmp_table_dir):
+    """A later epoch re-delivering a SUBSET of a key's already-applied
+    events must be a complete no-op under MOR (round-1 regression: the
+    resolve dropped duplicate delta rows on (key, _max_lsn) and could
+    keep the subset row, silently losing the superset's column writes)."""
+    import pandas as pd
+
+    events = pd.DataFrame(
+        {
+            "lsn": pd.array([3, 4, 5], dtype="Int64"),
+            "op": ["I", "U", "U"],
+            "ts": pd.to_datetime(["2026-01-01"] * 3),
+            "repo": ["r"] * 3,
+            "path": ["p"] * 3,
+            # lsn 3: full insert; lsn 4: lang only; lsn 5: commit only
+            "commit": ["c3", None, "c5"],
+            "lang": [None, "rust", None],
+            "content": ["body3", None, None],
+        }
+    )
+    table = create_code_table(spark, tmp_table_dir, CFG)
+    merge_events(table, spark.createDataFrame(events, EVENT_SCHEMA), CFG, epoch=("t", 0))
+    # epoch 1 re-delivers ONLY the newest event (lsn 5)
+    redelivered = spark.createDataFrame(events[events.lsn == 5], EVENT_SCHEMA)
+    merge_events(table, redelivered, CFG, epoch=("t", 1))
+
+    row = table.read().collect()[0].asDict()
+    assert row["commit"] == "c5"
+    assert row["lang"] == "rust"  # the lsn-4 write must survive
+    assert row["content"] == "body3"  # the lsn-3 write must survive
+    assert row["last_lsn"] == 5
+    assert row["row_version"] == 3  # re-delivery must not re-count
+
+    # same invariant must hold across compaction + a further re-delivery
+    from etl_kafka_project_spark.cdc.mor import compact_deltas
+
+    compact_deltas(table)
+    merge_events(table, redelivered, CFG, epoch=("t", 2))
+    row = table.read().collect()[0].asDict()
+    assert (row["commit"], row["lang"], row["content"], row["row_version"]) == (
+        "c5", "rust", "body3", 3,
+    )

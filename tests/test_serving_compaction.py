@@ -150,3 +150,27 @@ def test_changelog_as_kafka_messages(spark, replayed):
         doc = json.loads(bytes(m["value"]).decode())
         assert bytes(m["key"]).decode() == f"{doc['repo']}/{doc['path']}"
         assert {"op", "lsn"} <= set(doc)
+
+
+def test_apply_changelog_reproduces_table_state(spark, replayed):
+    """Feed-fidelity (ADVICE round 1): a consumer applying the partial-
+    update feed per its contract (per-column lsn LWW + reset barrier +
+    deletes) must land on EXACTLY the lake's live state — proving the
+    feed carries enough to distinguish 'unchanged' from 'set to null'."""
+    import pandas as pd
+
+    root, _ = replayed
+    feed = serving.read_changelog(spark, root)
+    payload = ["commit", "lang", "content"]
+    applied = serving.apply_changelog(feed, ["repo", "path"], payload)
+    got = (
+        applied.toPandas().sort_values(["repo", "path"]).reset_index(drop=True)
+    )
+    want = (
+        serving.latest(spark, root)
+        .select("repo", "path", *payload, "last_lsn")
+        .toPandas()
+        .sort_values(["repo", "path"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[want.columns], want, check_dtype=False)
