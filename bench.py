@@ -56,11 +56,17 @@ BENCH_QUERIES = [
 #: default sized for the per-round driver run (tens of seconds under
 #: host noise); tools/scaling_bench.py overrides to the 3.2M-event
 #: stream via SPARK_GRAFT_BENCH_N_EVENTS for the scaling ladder
+#: content size knobs let tools/scaling_bench.py run a COMPUTE-WEIGHTED
+#: variant (small payloads, sha256/fold-dominated) alongside the default
+#: content-heavy one — the memory-bandwidth-bound default under-reports
+#: single-host scaling (see BENCH/BASELINE.md host-ceiling section)
 CDC_SPEC = dict(
     n_events=int(os.environ.get("SPARK_GRAFT_BENCH_N_EVENTS", "800000")),
     n_keys=int(os.environ.get("SPARK_GRAFT_BENCH_N_KEYS", "80000")),
     n_repos=60, n_segments=128,
-    min_lines=30, max_lines=80, seed=42,
+    min_lines=int(os.environ.get("SPARK_GRAFT_BENCH_MIN_LINES", "30")),
+    max_lines=int(os.environ.get("SPARK_GRAFT_BENCH_MAX_LINES", "80")),
+    seed=42,
 )
 CDC_FILES_PER_TRIGGER = 32
 
@@ -128,27 +134,55 @@ def main() -> None:
 
     only_cdc = os.environ.get("SPARK_GRAFT_BENCH_ONLY_CDC") == "1"
 
-    spark = build_session(
-        f"local[{cpus}]",
-        # 2x cores: smooths stage tails; on a real cluster this config
-        # scales with executor count the same way
-        shuffle_partitions=int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", 2 * cpus)),
+    # SPARK_GRAFT_MASTER overrides the master, e.g.
+    # "local-cluster[4,4,6144]" — SEPARATE executor JVMs with their own
+    # heaps/GC, the sandbox's honest analog of adding cluster nodes
+    # (tools/scaling_bench.py --mode local-cluster). SPARK_GRAFT_CPUS
+    # then reports total cores (n_executors * cores_each).
+    master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+    local_dir = os.path.join(BENCH_ROOT, f"spark-local-{os.getpid()}")
+    extra_conf = {
+        "spark.driver.extraJavaOptions": os.environ.get(
+            "SPARK_GRAFT_JAVA_OPTS", "-XX:+UseParallelGC"
+        ),
+        # shuffle/spill files on tmpfs too — see BENCH_ROOT comment.
+        # PER-PROCESS dir: Spark registers a local dir it had to
+        # create for recursive deletion at JVM shutdown, so two
+        # sessions sharing one path wipe each other's shuffle files
+        "spark.local.dir": local_dir,
+    }
+    if master.startswith("local-cluster"):
+        # standalone workers take local dirs from SPARK_LOCAL_DIRS
+        os.environ["SPARK_LOCAL_DIRS"] = local_dir
+        os.environ.setdefault(
+            "SPARK_HOME", os.path.dirname(__import__("pyspark").__file__)
+        )
+        extra_conf.update(
+            {
+                "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+                "spark.executor.memory": os.environ.get(
+                    "SPARK_GRAFT_EXECUTOR_MEM", "6g"
+                ),
+                "spark.executor.extraJavaOptions": os.environ.get(
+                    "SPARK_GRAFT_JAVA_OPTS", "-XX:+UseParallelGC"
+                ),
+            }
+        )
+    else:
         # single local JVM hosts all "executors": size the heap for the
         # machine (128 GiB box), not Spark's 1g default
         # measured: a 48g G1 heap is 5-6x SLOWER and wildly unstable here
-        # (region recommit/zeroing shows up as kernel time); 16g is flat
-        # and fast for this workload
-        extra_conf={
-            "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"),
-            "spark.driver.extraJavaOptions": os.environ.get(
-                "SPARK_GRAFT_JAVA_OPTS", "-XX:+UseParallelGC"
-            ),
-            # shuffle/spill files on tmpfs too — see BENCH_ROOT comment.
-            # PER-PROCESS dir: Spark registers a local dir it had to
-            # create for recursive deletion at JVM shutdown, so two
-            # sessions sharing one path wipe each other's shuffle files
-            "spark.local.dir": os.path.join(BENCH_ROOT, f"spark-local-{os.getpid()}"),
-        },
+        # (region recommit/zeroing shows up as kernel time)
+        extra_conf["spark.driver.memory"] = os.environ.get(
+            "SPARK_GRAFT_DRIVER_MEM", "24g"
+        )
+
+    spark = build_session(
+        master,
+        # 2x cores: smooths stage tails; on a real cluster this config
+        # scales with executor count the same way
+        shuffle_partitions=int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", 2 * cpus)),
+        extra_conf=extra_conf,
     )
     queries = entrymod.queries()
     timings: dict[str, float] = {}

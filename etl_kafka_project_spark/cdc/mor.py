@@ -223,16 +223,39 @@ def delta_stats(snap: Snapshot) -> dict:
     return {"base_rows": base_rows, "delta_rows": delta_rows_, "delta_files": delta_files}
 
 
-def compact_deltas(table: LakeTable, min_delta_rows: int = 1) -> dict:
-    """Fold all delta files into base (per-bucket resolve + rewrite).
-    Returns stats; no-op when the table carries fewer delta rows than
-    ``min_delta_rows``."""
+def compact_deltas(
+    table: LakeTable, min_delta_rows: int = 1, delta_share: float = 0.0
+) -> dict:
+    """Fold delta files into base (per-bucket resolve + rewrite).
+
+    ``delta_share`` makes compaction *threshold-driven per bucket*: only
+    buckets whose ``delta_rows / (base_rows + delta_rows)`` is at least
+    the share are compacted (stats come free from the snapshot's file
+    manifests — no Spark job). Cold buckets keep their base files
+    untouched and their few delta rows resolve at read until they heat
+    up; at steady state this stops the compactor from re-reading the
+    whole touched working set on every cadence (the round-1 behavior
+    when every delta-carrying bucket compacted unconditionally).
+    ``delta_share=0`` compacts every delta-carrying bucket (full
+    compaction — maintenance / end-of-replay). No-op when the table
+    carries fewer delta rows than ``min_delta_rows``."""
     snap = table.snapshot()
     stats = delta_stats(snap)
     if stats["delta_rows"] < min_delta_rows:
         return {**stats, "compacted": False}
     t0 = time.time()
-    touched = {f.bucket for f in snap.files if f.kind == "delta"}
+    base_rows: dict[int, int] = {}
+    drow: dict[int, int] = {}
+    for f in snap.files:
+        d = base_rows if f.kind == "base" else drow
+        d[f.bucket] = d.get(f.bucket, 0) + f.rows
+    touched = {
+        b
+        for b, d in drow.items()
+        if d / (base_rows.get(b, 0) + d) >= delta_share
+    }
+    if not touched:
+        return {**stats, "compacted": False, "skipped_buckets": len(drow)}
     resolved = table.read(buckets=touched, include_tombstones=True).withColumn(
         "_bucket", table.bucket_expr(snap)
     )
@@ -245,6 +268,7 @@ def compact_deltas(table: LakeTable, min_delta_rows: int = 1) -> dict:
         **stats,
         "compacted": True,
         "buckets": len(touched),
+        "cold_buckets_skipped": len(drow) - len(touched),
         "snapshot_version": committed.version,
         "wall_ms": round((time.time() - t0) * 1000, 1),
     }

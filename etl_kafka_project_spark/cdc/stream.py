@@ -163,8 +163,12 @@ class ReplayJob:
         ):
             from etl_kafka_project_spark.cdc.mor import compact_deltas
 
-            compact_deltas(table)
+            c = compact_deltas(table, delta_share=self.config.compact_delta_share)
             phases["compact_s"] = round(_time.time() - t, 2)
+            phases["compact_buckets"] = c.get("buckets", 0)
+            phases["compact_cold_skipped"] = c.get(
+                "cold_buckets_skipped", c.get("skipped_buckets", 0)
+            )
 
         # Adaptive hot-key salting (AQE-style, reactive): the merge's
         # per-bucket stats carry the hottest key's folded event count for

@@ -47,6 +47,12 @@ class EngineConfig:
     #: O(live bucket data) writes, zero read-time resolve.
     merge_mode: str = "mor"
     compact_every_epochs: int = 8
+    #: per-bucket compaction threshold: a bucket compacts only when
+    #: delta_rows / (base_rows + delta_rows) >= this share (0 = always
+    #: compact every delta-carrying bucket). Keeps the epoch-cadence
+    #: compactor from re-reading cold buckets' full base data for a
+    #: handful of delta rows.
+    compact_delta_share: float = 0.2
     extra: dict = field(default_factory=dict)
 
     def validate(self) -> "EngineConfig":
@@ -54,6 +60,8 @@ class EngineConfig:
             raise ConfigError(f"merge_mode must be cow|mor, got {self.merge_mode!r}")
         if self.compact_every_epochs < 1:
             raise ConfigError("compact_every_epochs must be >= 1")
+        if not (0.0 <= self.compact_delta_share < 1.0):
+            raise ConfigError("compact_delta_share must be in [0, 1)")
         if not self.key_columns:
             raise ConfigError("key_columns must be non-empty")
         if self.n_buckets < 1:

@@ -160,6 +160,24 @@ def _atomic_write_json(path: str, payload: dict) -> None:
     os.rename(tmp, path)
 
 
+def _atomic_create_json(path: str, payload: dict) -> None:
+    """Atomically create ``path`` with the given content, failing with
+    ``FileExistsError`` if it already exists. ``os.link`` is the POSIX
+    compare-and-swap here: unlike check-then-rename (which lets two
+    racing committers both pass the check and the second rename silently
+    clobber the first — a lost update), a hard link to an existing name
+    fails atomically in the filesystem."""
+    tmp = f"{path}.tmp.{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        json.dump(payload, f)
+        f.flush()
+        os.fsync(f.fileno())
+    try:
+        os.link(tmp, path)
+    finally:
+        os.unlink(tmp)
+
+
 class LakeTable:
     """Handle to a minilake table rooted at a local/posix directory."""
 
@@ -212,8 +230,19 @@ class LakeTable:
         return os.path.join(self.root, "VERSION")
 
     def current_version(self) -> int:
+        """Latest committed version. The version pointer is a read-fast
+        cache; the snapshot FILES are the commit authority (they are
+        created exclusively, the pointer is written after). If a writer
+        crashed — or a racing writer is mid-commit — between snapshot
+        create and pointer update, the pointer lags: probe forward to
+        the newest contiguous snapshot so no committed state is ever
+        invisible (and a conflicting committer can't wedge on a version
+        that already exists)."""
         with open(self._version_path()) as f:
-            return json.load(f)["version"]
+            v = json.load(f)["version"]
+        while os.path.exists(self._snapshot_path(v + 1)):
+            v += 1
+        return v
 
     def snapshot(self, version: int | None = None) -> Snapshot:
         if version is None:
@@ -406,8 +435,15 @@ class LakeTable:
             ts=time.time(),
         )
         path = self._snapshot_path(new_version)
-        if os.path.exists(path):
-            raise SnapshotConflictError(f"snapshot v{new_version} already exists")
-        _atomic_write_json(path, snap.to_json())
+        try:
+            # exclusive create IS the commit point: exactly one of any
+            # set of racing committers can link this name (POSIX CAS) —
+            # check-then-write would let the loser silently clobber the
+            # winner's snapshot (lost update)
+            _atomic_create_json(path, snap.to_json())
+        except FileExistsError:
+            raise SnapshotConflictError(
+                f"snapshot v{new_version} already exists"
+            ) from None
         _atomic_write_json(self._version_path(), {"version": new_version})
         return snap

@@ -89,7 +89,17 @@ MINHASH_SQL = f"SELECT doc_id,\n       {_MH_SQL_COLS}\nFROM documents"
 
 def lsh_candidate_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """LSH banding: docs sharing any (band, bucket) become a candidate
-    pair — the scale path for near-dup detection (equi-join on bucket)."""
+    pair — the scale path for near-dup detection.
+
+    Single-pass shape (round-2 fix): ONE documents scan → signatures →
+    exploded band buckets → ``groupBy(band, bucket)`` collecting the
+    bucket's doc ids → in-bucket pair explode → distinct. The round-1
+    bands⋈bands self-join recomputed the whole 8-hash MinHash lineage
+    on BOTH join sides — at 100 TB that doubles the most expensive map
+    stage of the pipeline. Bucket membership lists are small by design
+    (a bucket is a near-dup cluster), so ``collect_set`` per bucket is
+    bounded and the pair explode is quadratic only within a bucket —
+    exactly the candidate set LSH promises, never O(n²) overall."""
     sig = minhash_signatures(spark, sf)
     band_structs = F.array(
         *[
@@ -105,11 +115,20 @@ def lsh_candidate_pairs(spark: SparkSession, sf: str) -> DataFrame:
     bands = sig.select("doc_id", F.explode(band_structs).alias("bb")).select(
         "doc_id", "bb.band", "bb.bucket"
     )
-    a, b = bands.alias("a"), bands.alias("b")
+    buckets = bands.groupBy("band", "bucket").agg(
+        F.array_sort(F.collect_set("doc_id")).alias("ids")
+    )
+    pair = F.explode(
+        F.expr(
+            "flatten(transform(ids, (a, i) ->"
+            " transform(slice(ids, i + 2, size(ids)), b ->"
+            " struct(a AS doc_a, b AS doc_b))))"
+        )
+    ).alias("p")
     return (
-        a.join(b, ["band", "bucket"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        buckets.filter(F.size("ids") > 1)
+        .select(pair)
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
 

@@ -26,8 +26,9 @@ def test_entry_smoke(spark):
 def test_every_query_has_oracle_or_is_declared(spark):
     queries, oracles = entrymod.queries(), entrymod.oracle_sql()
     assert set(oracles) <= set(queries)
-    # the only rows-only op is the mapInPandas feature extractor
-    assert set(queries) - set(oracles) == {"multimodal_features"}
+    # round 2: EVERY query has a DuckDB oracle twin (the mapInPandas
+    # feature extractor gained a codepoint-stat oracle — ASCII payloads)
+    assert set(queries) - set(oracles) == set()
 
 
 @pytest.fixture(scope="module")

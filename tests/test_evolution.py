@@ -143,3 +143,82 @@ def test_source_tag_is_envelope_not_payload():
     )
     plan = diff_schemas(table_schema(), batch)
     assert plan.added == [] and plan.widened == [] and plan.incompatible == []
+
+
+# ---------- MOR-path evolution property (round-2 hardening) ----------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+AUTHOR_SCHEMA = T.StructType(
+    EVENT_SCHEMA.fields + [T.StructField("author", T.StringType(), True)]
+)
+_KEYS = [("r0", "a.py"), ("r0", "b.py"), ("r1", "a.py")]
+
+
+@st.composite
+def evolving_logs(draw):
+    n = draw(st.integers(min_value=2, max_value=20))
+    cut = draw(st.integers(min_value=1, max_value=n - 1))
+    compact_mid = draw(st.booleans())
+    rows = []
+    for lsn in range(1, n + 1):
+        repo, path = _KEYS[draw(st.integers(min_value=0, max_value=len(_KEYS) - 1))]
+        op = draw(st.sampled_from(["I", "U", "D"]))
+        if op == "D":
+            commit = lang = content = author = None
+        else:
+            commit = draw(st.one_of(st.none(), st.sampled_from(["c1", "c2"])))
+            lang = draw(st.one_of(st.none(), st.sampled_from(["py", "go"])))
+            content = draw(st.one_of(st.none(), st.sampled_from(["x", "yy"])))
+            if op == "I" and content is None:
+                content = "seed"
+            author = draw(st.one_of(st.none(), st.sampled_from(["ann", "bob"])))
+        rows.append((lsn, op, repo, path, commit, lang, content, author))
+    df = pd.DataFrame(
+        rows, columns=["lsn", "op", "repo", "path", "commit", "lang", "content", "author"]
+    )
+    df["ts"] = pd.Timestamp("2024-01-01", tz="UTC").as_unit("us")
+    df = df[["lsn", "op", "ts", "repo", "path", "commit", "lang", "content", "author"]]
+    # the column only exists after the cut (pre-evolution writers)
+    df.loc[df.lsn <= cut, "author"] = None
+    return df, cut, compact_mid
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(case=evolving_logs())
+def test_mor_evolution_property(spark, tmp_path_factory, case):
+    """For ANY small log evolved mid-stream under MERGE-ON-READ (deltas,
+    optional mid-compaction): old delta files written with the narrower
+    delta schema must null-fill on read and the resolved state must
+    equal the oracle. This pins `delta_schema` evolution — the round-1
+    suite exercised evolution mainly through COW rewrites."""
+    from etl_kafka_project_spark.cdc.mor import compact_deltas
+
+    events, cut, compact_mid = case
+    tmp = tmp_path_factory.mktemp("morevo")
+    table = create_code_table(spark, str(tmp / "t"), CFG)  # merge_mode=mor
+
+    pre = events[events.lsn <= cut].drop(columns=["author"])
+    post = events[events.lsn > cut]
+    merge_events(table, spark.createDataFrame(pre, EVENT_SCHEMA), CFG, epoch=("t", 0))
+    if compact_mid:
+        compact_deltas(table, delta_share=0.0)
+    evolve_table(table, AUTHOR_SCHEMA)
+    if not post.empty:
+        merge_events(
+            table, spark.createDataFrame(post, AUTHOR_SCHEMA), CFG, epoch=("t", 1)
+        )
+
+    cols = ["repo", "path", "commit", "lang", "content", "author",
+            "content_sha256", "last_lsn", "row_version"]
+    got = (
+        table.read().select(*cols).toPandas()
+        .sort_values(["repo", "path"]).reset_index(drop=True)
+    )
+    want = replay_oracle(events).reindex(columns=cols)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)

@@ -133,3 +133,127 @@ def test_mor_cross_epoch_subset_redelivery(spark, tmp_table_dir):
     assert (row["commit"], row["lang"], row["content"], row["row_version"]) == (
         "c5", "rust", "body3", 3,
     )
+
+
+def test_mor_compaction_is_threshold_driven_per_bucket(spark, tmp_table_dir):
+    """compact_deltas(delta_share=s): only buckets whose delta share
+    crosses s rewrite; a cold bucket's base files stay byte-identical on
+    disk and its delta rows keep resolving at read."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from etl_kafka_project_spark.cdc.mor import compact_deltas
+
+    cfg = EngineConfig(n_buckets=2)
+    table = create_code_table(spark, tmp_table_dir, cfg)
+    # sort candidate keys into the 2 buckets
+    cand = [f"r{i}" for i in range(20)]
+    bdf = spark.createDataFrame([(r, "p") for r in cand], "repo string, path string")
+    bucket_of = {
+        r["repo"]: r["b"]
+        for r in bdf.withColumn("b", F.pmod(F.hash("repo", "path"), F.lit(2))).collect()
+    }
+    cold_keys = [r for r in cand if bucket_of[r] == 0][:10]
+    hot_key = next(r for r in cand if bucket_of[r] == 1)
+
+    def ev(rows):
+        return spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "lsn": pd.array([r[0] for r in rows], dtype="Int64"),
+                    "op": [r[1] for r in rows],
+                    "ts": pd.to_datetime(["2026-01-01"] * len(rows)),
+                    "repo": [r[2] for r in rows],
+                    "path": ["p"] * len(rows),
+                    "commit": [f"c{r[0]}" for r in rows],
+                    "lang": ["rust"] * len(rows),
+                    "content": [f"body{r[0]}" for r in rows],
+                }
+            ),
+            EVENT_SCHEMA,
+        )
+
+    # epoch 0: seed both buckets, full-compact to base
+    seed = [(i, "I", k) for i, k in enumerate([*cold_keys, hot_key])]
+    merge_events(table, ev(seed), cfg, epoch=("t", 0))
+    assert compact_deltas(table, delta_share=0.0)["compacted"]
+
+    # epoch 1: heavy churn on the hot key, one touch on a cold key
+    churn = [(100 + i, "U", hot_key) for i in range(5)] + [(200, "U", cold_keys[0])]
+    merge_events(table, ev(churn), cfg, epoch=("t", 1))
+
+    snap = table.snapshot()
+    cold_base_before = sorted(
+        f.path for f in snap.files if f.kind == "base" and f.bucket == 0
+    )
+    res = compact_deltas(table, delta_share=0.3)
+    # hot bucket (share 1/2 >= 0.3) compacts; cold (1/11) skipped
+    assert res["compacted"] and res["buckets"] == 1 and res["cold_buckets_skipped"] == 1
+    snap2 = table.snapshot()
+    assert sorted(
+        f.path for f in snap2.files if f.kind == "base" and f.bucket == 0
+    ) == cold_base_before
+    assert any(f.kind == "delta" and f.bucket == 0 for f in snap2.files)
+    assert not any(f.kind == "delta" and f.bucket == 1 for f in snap2.files)
+    # the cold delta still resolves at read
+    got = {r["repo"]: r for r in table.read().collect()}
+    assert got[cold_keys[0]]["commit"] == "c200"
+    assert got[hot_key]["commit"] == "c104"
+
+
+def test_concurrent_merge_writers_conflict_then_retry(spark, tmp_table_dir):
+    """Two writers merging from the same parent snapshot: commits
+    serialize via optimistic concurrency — a loser (if the race
+    materializes) raises SnapshotConflictError and its RETRY lands
+    cleanly; the final state always contains both writers' keys."""
+    import threading
+
+    import pandas as pd
+
+    from etl_kafka_project_spark.minilake.table import SnapshotConflictError
+
+    table = create_code_table(spark, tmp_table_dir, CFG)
+
+    def batch(repo, lsn0):
+        return spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "lsn": pd.array([lsn0, lsn0 + 1], dtype="Int64"),
+                    "op": ["I", "U"],
+                    "ts": pd.to_datetime(["2026-01-01"] * 2),
+                    "repo": [repo] * 2,
+                    "path": ["p"] * 2,
+                    "commit": [f"c{lsn0}", f"c{lsn0 + 1}"],
+                    "lang": ["rust"] * 2,
+                    "content": ["b1", "b2"],
+                }
+            ),
+            EVENT_SCHEMA,
+        )
+
+    batches = {"wa": batch("repo-a", 10), "wb": batch("repo-b", 20)}
+    failures: dict[str, BaseException] = {}
+
+    def run(tag: str) -> None:
+        try:
+            merge_events(table, batches[tag], CFG, epoch=(tag, 0))
+        except BaseException as e:  # record — thread exceptions vanish
+            failures[tag] = e
+
+    threads = [threading.Thread(target=run, args=(t,)) for t in batches]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    # commits serialized: at most one writer lost the race, and the ONLY
+    # acceptable failure mode is the optimistic-concurrency conflict
+    assert len(failures) <= 1, failures
+    assert all(isinstance(e, SnapshotConflictError) for e in failures.values()), failures
+    for tag in failures:  # the loser's retry sees the new snapshot and lands
+        merge_events(table, batches[tag], CFG, epoch=(tag, 0))
+
+    rows = {r["repo"]: r for r in table.read().collect()}
+    assert rows["repo-a"]["commit"] == "c11" and rows["repo-a"]["row_version"] == 2
+    assert rows["repo-b"]["commit"] == "c21" and rows["repo-b"]["row_version"] == 2

@@ -174,3 +174,54 @@ def test_apply_changelog_reproduces_table_state(spark, replayed):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got[want.columns], want, check_dtype=False)
+
+
+def test_serve_endpoint_end_to_end(spark, replayed):
+    """EP3 parity: the runnable serving endpoint (tools/serve.py) answers
+    search (incl. multi-value ', ' args + pagination), changelog catch-up,
+    and streaming subscription over a replayed table."""
+    import sys
+
+    root, events = replayed
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from serve import ServeSession
+
+    sess = ServeSession(spark, root)
+
+    r = sess.handle({"op": "snapshot_version"})
+    assert r["ok"] and r["version"] >= 1
+
+    # exact search, default pagination (0, 10)
+    r = sess.handle({"op": "search", "exact": {"repo": "repo-000"}})
+    assert r["ok"] and 0 < len(r["rows"]) <= 10
+    assert all(row["repo"] == "repo-000" for row in r["rows"])
+    # null -> 'None' fill at the boundary (reference sink parity)
+    assert all(v is not None for row in r["rows"] for v in row.values())
+
+    # multi-value text arg: every ', '-split term required
+    n_and = len(
+        sess.handle({"op": "search", "text": {"content": "line 0, line 2"}, "limit": None})["rows"]
+    )
+    n_one = len(
+        sess.handle({"op": "search", "text": {"content": "line 0"}, "limit": None})["rows"]
+    )
+    assert 0 < n_and <= n_one
+
+    # pagination pages are disjoint and ordered
+    p1 = sess.handle({"op": "search", "order_by": ["repo", "path"], "offset": 0, "limit": 5})
+    p2 = sess.handle({"op": "search", "order_by": ["repo", "path"], "offset": 5, "limit": 5})
+    k1 = {(r_["repo"], r_["path"]) for r_ in p1["rows"]}
+    k2 = {(r_["repo"], r_["path"]) for r_ in p2["rows"]}
+    assert len(k1) == 5 and len(k2) == 5 and k1.isdisjoint(k2)
+
+    # injection guard surfaces as an error, not a crash
+    r = sess.handle({"op": "search", "text": {"content": "x; DROP"}})
+    assert not r["ok"] and "validation" in r["error"]
+
+    # changelog catch-up and streaming subscription agree
+    batch = sess.handle({"op": "changelog"})
+    sub = sess.handle({"op": "subscribe"})
+    assert batch["ok"] and sub["ok"] and len(sub["rows"]) == len(batch["rows"])
+
+    assert sess.handle({"op": "nope"})["ok"] is False
+    assert sess.handle({"op": "stop"})["stopped"]

@@ -161,3 +161,54 @@ def test_watermarked_cross_epoch_dedup(spark, tmp_path):
     got = _final_state_pdf(_open(spark, job))
     want = replay_oracle(events).reindex(columns=got.columns)
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_rate_controlled_continuous_tail(spark, tmp_path):
+    """T8: a processingTime-triggered CONTINUOUS tail (available_now=False)
+    picks up segments that arrive over time and merges them correctly —
+    the reference's EXTRACT_INTERVAL polling loop (config.py:13) as a
+    rate-controlled Structured Streaming trigger."""
+    import shutil
+    import time
+
+    spec = StreamSpec(n_events=900, n_keys=120, n_segments=6, min_lines=2, max_lines=3)
+    events, segs = generate_stream(str(tmp_path / "staging"), spec)
+    os.makedirs(str(tmp_path / "stream"))
+    create_code_table(spark, str(tmp_path / "table"), CFG)
+
+    job = _job(tmp_path, processing_interval="1 seconds")
+    segs = sorted(segs)
+    # half the backlog exists when the tail starts...
+    for s in segs[:3]:
+        shutil.copy(s, str(tmp_path / "stream"))
+    q = job.start(spark, available_now=False)
+    try:
+        deadline = time.time() + 60
+        while not job.applied and time.time() < deadline:
+            time.sleep(0.5)
+        assert job.applied, "tail never applied the initial backlog"
+        # ...the rest arrives late, while the query is running
+        for s in segs[3:]:
+            shutil.copy(s, str(tmp_path / "stream"))
+            time.sleep(0.3)
+        want = replay_oracle(events).reindex(
+            columns=["repo", "path", "commit", "lang", "content",
+                     "content_sha256", "last_lsn", "row_version"]
+        )
+        while time.time() < deadline:
+            applied_events = sum(s.events_in for s in job.applied if not s.skipped)
+            if applied_events >= events.lsn.nunique():
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    assert q.exception() is None
+    assert len([s for s in job.applied if not s.skipped]) >= 2
+
+    got = _final_state_pdf(_open(spark, job))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    # the trigger really was processingTime (not one availableNow drain):
+    # epochs were applied across distinct trigger firings
+    docs = LineageLog(job.lineage_dir, job.stream_id).read_all()
+    assert len(docs) == len(job.applied)
