@@ -63,12 +63,17 @@ BENCH_QUERIES = [
 CDC_SPEC = dict(
     n_events=int(os.environ.get("SPARK_GRAFT_BENCH_N_EVENTS", "800000")),
     n_keys=int(os.environ.get("SPARK_GRAFT_BENCH_N_KEYS", "80000")),
-    n_repos=60, n_segments=128,
+    n_repos=60,
+    n_segments=int(os.environ.get("SPARK_GRAFT_BENCH_N_SEGMENTS", "128")),
     min_lines=int(os.environ.get("SPARK_GRAFT_BENCH_MIN_LINES", "30")),
     max_lines=int(os.environ.get("SPARK_GRAFT_BENCH_MAX_LINES", "80")),
     seed=42,
 )
-CDC_FILES_PER_TRIGGER = 32
+#: epoch size: larger epochs amortize the per-trigger serial floor
+#: (driver planning + codegen + offset/commit log + snapshot commit,
+#: ~1-4 s/epoch) — on a real cluster this floor is identical, which is
+#: why high-throughput CDC replays run big micro-batches
+CDC_FILES_PER_TRIGGER = int(os.environ.get("SPARK_GRAFT_BENCH_FILES_PER_TRIGGER", "32"))
 
 
 def log(msg: str) -> None:
@@ -119,6 +124,9 @@ def run_cdc_replay(spark, stream_dir: str, cpus: int) -> dict:
         "epochs": len(stats),
         "wall_sec": round(wall, 3),
         "events_per_sec": round(n_events / wall, 1),
+        # per-epoch merge walls: lets the scaling report separate JVM
+        # warm-up (first epochs) from sustained throughput
+        "epoch_walls": [round(s.wall_ms / 1000, 2) for s in stats],
     }
 
 
@@ -157,6 +165,14 @@ def main() -> None:
         os.environ.setdefault(
             "SPARK_HOME", os.path.dirname(__import__("pyspark").__file__)
         )
+        # CRITICAL (measured 143s -> 86s on the 4-executor ladder): cap
+        # each executor JVM's perceived CPU count at its core slice.
+        # Without it every executor sizes ParallelGC threads, JIT
+        # compiler threads, and netty pools for ALL host cores — 4
+        # executors burned 6.5x the CPU of 1 executor for identical
+        # work. A real cluster gets this from container cpuset limits;
+        # local-cluster workers see the bare machine.
+        exec_cores = int(master.split("[", 1)[1].split(",")[1])
         extra_conf.update(
             {
                 "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
@@ -165,7 +181,8 @@ def main() -> None:
                 ),
                 "spark.executor.extraJavaOptions": os.environ.get(
                     "SPARK_GRAFT_JAVA_OPTS", "-XX:+UseParallelGC"
-                ),
+                )
+                + f" -XX:ActiveProcessorCount={exec_cores}",
             }
         )
     else:

@@ -91,6 +91,74 @@ def extract_binary_features(df: DataFrame) -> DataFrame:
     return df.select("doc_id", "payload").mapInPandas(batch_features, _FEATURE_SCHEMA)
 
 
+N_FRAMES = 4
+
+_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("offset", T.IntegerType()),
+        T.StructField("byte_val", T.IntegerType()),
+    ]
+)
+
+
+def sample_frames(df: DataFrame, n_frames: int = N_FRAMES) -> DataFrame:
+    """Frame sampling over opaque binary payloads — the video-pipeline
+    shape (decode → sample every Nth frame) with a deterministic fake
+    "frame": the byte at offset ``floor(i * n_bytes / n_frames)``. The
+    per-payload Python loop stands in for per-payload codec work (frame
+    extraction IS per-payload); batches still ride Arrow via
+    ``mapInPandas``, map-only, no shuffle — swap the body for
+    ffmpeg/PyAV on a cluster with the libs installed."""
+
+    def batch_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            doc_ids: list[int] = []
+            idxs: list[int] = []
+            offs: list[int] = []
+            vals: list[int] = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n = len(payload)
+                for i in range(n_frames):
+                    off = (i * n) // n_frames
+                    if off < n:
+                        doc_ids.append(doc_id)
+                        idxs.append(i)
+                        offs.append(off)
+                        vals.append(payload[off])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array(doc_ids, dtype="int64"),
+                    "frame_idx": pd.array(idxs, dtype="int32"),
+                    "offset": pd.array(offs, dtype="int32"),
+                    "byte_val": pd.array(vals, dtype="int32"),
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(batch_frames, _FRAME_SCHEMA)
+
+
+def multimodal_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Frame sampling as an oracle-checked query (ASCII payloads make
+    the sampled byte SQL-expressible as a codepoint)."""
+    return sample_frames(pack_binary(load(spark, sf, "documents")))
+
+
+MULTIMODAL_FRAMES_SQL = f"""
+WITH b AS (
+  SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents
+)
+SELECT doc_id,
+       CAST(t.range AS INTEGER) AS frame_idx,
+       CAST((t.range * n) // {N_FRAMES} AS INTEGER) AS offset,
+       CAST(ascii(substr(text, CAST((t.range * n) // {N_FRAMES} AS INTEGER) + 1, 1))
+            AS INTEGER) AS byte_val
+FROM b, range(0, {N_FRAMES}) t
+WHERE (t.range * n) // {N_FRAMES} < n
+"""
+
+
 def multimodal_meta(spark: SparkSession, sf: str) -> DataFrame:
     """Metadata projection of packed binary payloads (oracle-checkable:
     byte length and first code point survive the utf-8 round trip)."""
@@ -135,9 +203,11 @@ FROM documents
 QUERIES = {
     "multimodal_meta": multimodal_meta,
     "multimodal_features": multimodal_features,
+    "multimodal_frame_sample": multimodal_frame_sample,
 }
 
 ORACLES = {
     "multimodal_meta": MULTIMODAL_META_SQL,
     "multimodal_features": MULTIMODAL_FEATURES_SQL,
+    "multimodal_frame_sample": MULTIMODAL_FRAMES_SQL,
 }

@@ -145,14 +145,87 @@ SELECT vec_id, centroid_id, round(cos, 6) AS cosine FROM ranked WHERE rk = 1
 """
 
 
+def ivf_query_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """The IVF QUERY path (completes the IVF story: assignment + k-means
+    step + query): probe the ``nprobe=2`` centroids nearest the query
+    (vec 0), rank only vectors whose coarse assignment lands in a probed
+    posting list, return the top-5. At 100 TB the posting lists are
+    partition keys, so the candidate scan reads ~nprobe/k of the data —
+    the centroid probe and the query vector are driver-small broadcasts."""
+    e = load(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cents = e.filter(F.col("vec_id") <= 3).select(
+        F.col("vec_id").alias("centroid_id"), F.col("v").alias("c")
+    )
+    q = e.filter(F.col("vec_id") == 0).select(F.col("v").alias("q"))
+    probed = (
+        cents.crossJoin(F.broadcast(q))
+        .select("centroid_id", _cosine("c", "q").alias("_qc"))
+        .orderBy(F.desc("_qc"), "centroid_id")
+        .limit(2)
+        .select("centroid_id")
+    )
+    scored = e.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "centroid_id", _cosine("v", "c").alias("_cos")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("_cos"), "centroid_id")
+    assign = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "centroid_id")
+    )
+    cand = assign.join(F.broadcast(probed), "centroid_id").filter(F.col("vec_id") != 0)
+    ranked = (
+        cand.join(e, "vec_id")
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", "centroid_id", _cosine("v", "q").alias("_cos"))
+    )
+    return (
+        ranked.orderBy(F.desc("_cos"), "vec_id")
+        .limit(5)
+        .select("vec_id", "centroid_id", F.round("_cos", 6).alias("cosine"))
+    )
+
+
+IVF_QUERY_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c AS (SELECT vec_id AS centroid_id, v AS c FROM e WHERE vec_id <= 3),
+q AS (SELECT v AS q FROM e WHERE vec_id = 0),
+probed AS (
+  SELECT centroid_id FROM c, q
+  ORDER BY list_cosine_similarity(c, q) DESC, centroid_id LIMIT 2
+),
+assign AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT e.vec_id, c.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY list_cosine_similarity(e.v, c.c) DESC,
+                                       c.centroid_id) AS rk
+    FROM e, c
+  ) WHERE rk = 1
+)
+SELECT e.vec_id, a.centroid_id,
+       round(list_cosine_similarity(e.v, q.q), 6) AS cosine
+FROM assign a
+JOIN probed p ON a.centroid_id = p.centroid_id
+JOIN e ON e.vec_id = a.vec_id, q
+WHERE e.vec_id <> 0
+ORDER BY list_cosine_similarity(e.v, q.q) DESC, e.vec_id
+LIMIT 5
+"""
+
+
 QUERIES = {
     "ann_bruteforce_topk": ann_bruteforce_topk,
     "ann_lsh_buckets": ann_lsh_buckets,
     "ivf_coarse_assignment": ivf_coarse_assignment,
+    "ivf_query_topk": ivf_query_topk,
 }
 
 ORACLES = {
     "ann_bruteforce_topk": ANN_BRUTEFORCE_SQL,
     "ann_lsh_buckets": ANN_LSH_SQL,
     "ivf_coarse_assignment": IVF_SQL,
+    "ivf_query_topk": IVF_QUERY_SQL,
 }

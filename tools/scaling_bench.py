@@ -51,14 +51,20 @@ PROFILES = {
         "SPARK_GRAFT_BENCH_N_EVENTS": "3200000",
         "SPARK_GRAFT_BENCH_N_KEYS": "300000",
     },
-    # ~150 B content/event, same event count: sha256 + fold arithmetic
-    # dominate; total bytes moved drop ~15x so the single-host memory
-    # bus is not the cap at 16 cores
+    # ~150 B content/event: sha256 + fold arithmetic dominate; total
+    # bytes moved drop ~15x so the single-host memory bus is not the
+    # cap at 16 cores. 4x the events in 2 BIG epochs (6.4M each):
+    # the per-trigger serial floor (driver planning/codegen + offset
+    # log + snapshot commit, ~1-4 s — identical on a real cluster,
+    # which is why production CDC replays run big micro-batches) must
+    # not dominate the parallel work at the 4N level.
     "compute-weighted": {
-        "SPARK_GRAFT_BENCH_N_EVENTS": "3200000",
-        "SPARK_GRAFT_BENCH_N_KEYS": "300000",
+        "SPARK_GRAFT_BENCH_N_EVENTS": "12800000",
+        "SPARK_GRAFT_BENCH_N_KEYS": "1200000",
         "SPARK_GRAFT_BENCH_MIN_LINES": "2",
         "SPARK_GRAFT_BENCH_MAX_LINES": "4",
+        "SPARK_GRAFT_BENCH_N_SEGMENTS": "256",
+        "SPARK_GRAFT_BENCH_FILES_PER_TRIGGER": "128",
     },
 }
 
