@@ -121,33 +121,44 @@ class ReplayJob:
         phases: dict[str, float] = {}
         t = _time.time()
 
-        valid, dead = split_dead_letters(batch_df)
-        # ONE scan quarantines dead letters (idempotent overwrite per
-        # epoch); per-reason counts come from the written files' metadata
-        # — no dedicated counting job over the (content-heavy) batch
-        dead_path = os.path.join(self.dead_letter_dir, f"epoch={epoch_id}")
-        dead.write.mode("overwrite").parquet(dead_path)
-        dead_counts = _dead_letter_counts(dead_path)
-        phases["dead_letters_s"] = round(_time.time() - t, 2)
-        t = _time.time()
+        # ONE materialization of the micro-batch serves its three
+        # consumers (dead-letter quarantine write, the fold's wide
+        # aggregation, and the narrow distinct-lsn count) instead of
+        # three source scans per epoch. MEMORY_AND_DISK: spills, never
+        # OOMs; unpersisted in the finally below.
+        from pyspark import StorageLevel
 
-        # additive/widening schema evolution BEFORE the merge; its commit
-        # is idempotent (re-diff after crash is empty), so it can sit
-        # outside the epoch-stamped data commit safely
-        evolve_table(table, valid.schema)
-        phases["evolve_s"] = round(_time.time() - t, 2)
-        t = _time.time()
+        batch_df.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            valid, dead = split_dead_letters(batch_df)
+            # quarantine dead letters (idempotent overwrite per epoch);
+            # per-reason counts come from the written files' metadata —
+            # no dedicated counting job over the (content-heavy) batch
+            dead_path = os.path.join(self.dead_letter_dir, f"epoch={epoch_id}")
+            dead.write.mode("overwrite").parquet(dead_path)
+            dead_counts = _dead_letter_counts(dead_path)
+            phases["dead_letters_s"] = round(_time.time() - t, 2)
+            t = _time.time()
 
-        stats = merge_events(
-            table,
-            valid,
-            self.config,
-            epoch=(self.stream_id, epoch_id),
-            salt=self.salt,
-            changelog_dir=self.changelog_dir if self.emit_changelog else None,
-        )
-        phases["merge_s"] = round(_time.time() - t, 2)
-        t = _time.time()
+            # additive/widening schema evolution BEFORE the merge; its
+            # commit is idempotent (re-diff after crash is empty), so it
+            # can sit outside the epoch-stamped data commit safely
+            evolve_table(table, valid.schema)
+            phases["evolve_s"] = round(_time.time() - t, 2)
+            t = _time.time()
+
+            stats = merge_events(
+                table,
+                valid,
+                self.config,
+                epoch=(self.stream_id, epoch_id),
+                salt=self.salt,
+                changelog_dir=self.changelog_dir if self.emit_changelog else None,
+            )
+            phases["merge_s"] = round(_time.time() - t, 2)
+            t = _time.time()
+        finally:
+            batch_df.unpersist()
         # applied-event count falls out of the merge's own bucket stats
         # (distinct lsns folded per bucket) — no extra count() pass
         stats.events_in = sum(r["events"] for r in stats.per_bucket)
