@@ -47,6 +47,16 @@ class EngineConfig:
     #: O(live bucket data) writes, zero read-time resolve.
     merge_mode: str = "mor"
     compact_every_epochs: int = 8
+    #: micro-batch materialization strategy for the epoch's three batch
+    #: consumers (dead-letter quarantine, wide fold, narrow lsn count).
+    #: "none" (default) re-scans the source per consumer: compressed
+    #: columnar scans off fast storage are parallel work that SCALES,
+    #: and measured 4x faster than caching for content-heavy batches
+    #: (local[16], 1.6M x 2.2KB epochs: 45s vs 186s — materializing raw
+    #: rows costs more than parquet re-decode). "ser"/"deser" cache the
+    #: batch (serialized / deserialized) — worth trying only when the
+    #: source is slow or remote relative to executor memory bandwidth.
+    batch_cache: str = "none"
     #: per-bucket compaction threshold: a bucket compacts only when
     #: delta_rows / (base_rows + delta_rows) >= this share (0 = always
     #: compact every delta-carrying bucket). Keeps the epoch-cadence
@@ -62,6 +72,8 @@ class EngineConfig:
             raise ConfigError("compact_every_epochs must be >= 1")
         if not (0.0 <= self.compact_delta_share < 1.0):
             raise ConfigError("compact_delta_share must be in [0, 1)")
+        if self.batch_cache not in ("deser", "ser", "none"):
+            raise ConfigError("batch_cache must be deser|ser|none")
         if not self.key_columns:
             raise ConfigError("key_columns must be non-empty")
         if self.n_buckets < 1:
