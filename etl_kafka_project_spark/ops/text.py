@@ -185,12 +185,48 @@ FROM documents
 """
 
 
+def pretrain_corpus_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """The pretraining-data pipeline end to end, as one declarative
+    plan: exact-dedup (keep the lowest doc_id per identical content) ∘
+    language gate (labeled 'en') ∘ quality gate (composite score) —
+    i.e. the kept corpus a training run would actually read. Every
+    stage is a prior oracle-checked operator; the composition shuffles
+    once for the dedup groupBy and once for the keeper join."""
+    q = quality_score(spark, sf)
+    d = load(spark, sf, "documents")
+    keepers = (
+        d.groupBy(F.sha2("text", 256).alias("content_sha256"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    return (
+        d.join(keepers, "doc_id")
+        .join(q, "doc_id")
+        .filter((F.col("lang") == "en") & (F.col("quality_scaled") >= 60000))
+        .select("doc_id", "n_tokens", "quality_scaled")
+    )
+
+
+PRETRAIN_FILTER_SQL = f"""
+WITH q AS ({QUALITY_SQL}),
+keepers AS (
+  SELECT min(doc_id) AS doc_id FROM documents GROUP BY sha256(text)
+)
+SELECT d.doc_id, q.n_tokens, q.quality_scaled
+FROM documents d
+JOIN keepers k ON d.doc_id = k.doc_id
+JOIN q ON q.doc_id = d.doc_id
+WHERE d.lang = 'en' AND q.quality_scaled >= 60000
+"""
+
+
 QUERIES = {
     "token_stats": token_stats,
     "quality_score": quality_score,
     "language_id": language_id,
     "sha256_documents": sha256_documents,
     "doc_fingerprint": doc_fingerprint,
+    "pretrain_corpus_filter": pretrain_corpus_filter,
 }
 
 ORACLES = {
@@ -199,4 +235,5 @@ ORACLES = {
     "language_id": LANG_ID_SQL,
     "sha256_documents": SHA256_SQL,
     "doc_fingerprint": FINGERPRINT_SQL,
+    "pretrain_corpus_filter": PRETRAIN_FILTER_SQL,
 }

@@ -159,10 +159,19 @@ def main() -> None:
     ap.add_argument("--worker-mem-mb", type=int, default=8192)
     ap.add_argument("--load-gate", type=float, default=4.0)
     ap.add_argument("--max-wait", type=float, default=600.0)
+    ap.add_argument(
+        "--control",
+        action="store_true",
+        help="interleave an engine-free control trial (tools/control_shuffle.py)"
+        " at each level within the same round — pairs engine and control"
+        " under the SAME noise regime so the relative efficiency is robust"
+        " to the shared host's hour-scale load swings",
+    )
     args = ap.parse_args()
 
     levels = build_levels(args)
     results: dict[str, list[dict]] = {lv["name"]: [] for lv in levels}
+    control_results: dict[str, list[dict]] = {lv["name"]: [] for lv in levels}
     for t in range(args.trials):
         for lv in levels:
             ld = wait_for_quiet(args.load_gate, args.max_wait)
@@ -175,6 +184,25 @@ def main() -> None:
             r = run_trial(lv, args.profile)
             print(f"  -> {r['wall_sec']}s, {r['events_per_sec']} ev/s", file=sys.stderr)
             results[lv["name"]].append(r)
+            if args.control and args.mode == "local":
+                wait_for_quiet(args.load_gate, args.max_wait)
+                out = subprocess.run(
+                    [
+                        sys.executable,
+                        os.path.join(REPO, "tools", "control_shuffle.py"),
+                        "--masters",
+                        lv["name"],
+                        "--trials",
+                        "1",
+                    ],
+                    env=dict(os.environ, PYTHONPATH=REPO),
+                    capture_output=True,
+                    text=True,
+                    timeout=1200,
+                )
+                c = json.loads(out.stdout.strip().splitlines()[-1])["control"][0]
+                print(f"  control -> {c['runs'][0]}", file=sys.stderr)
+                control_results[lv["name"]].append(c["runs"][0])
 
     best = {n: min(rs, key=lambda r: r["wall_sec"]) for n, rs in results.items()}
     by_units = {lv["units"]: lv["name"] for lv in levels}
@@ -211,6 +239,41 @@ def main() -> None:
         "trials": args.trials,
         "all_runs": results,
     }
+    if args.control and any(control_results.values()):
+        cbest = {
+            n: min(r["wall_sec"] for r in rs) for n, rs in control_results.items() if rs
+        }
+        names = [by_units[u] for u in unit_vals]
+        if len(names) == 2 and all(n in cbest for n in names):
+            lo_n, hi_n = names
+            ceff = round(
+                (cbest[lo_n] / cbest[hi_n]) / (unit_vals[1] / unit_vals[0]), 3
+            )
+            summary["control"] = {
+                "best_walls": cbest,
+                "efficiency": ceff,
+                "all_runs": control_results,
+            }
+            if summary["headline_efficiency"]:
+                summary["engine_relative_efficiency"] = round(
+                    summary["headline_efficiency"] / ceff, 2
+                )
+        with open(os.path.join(REPO, "BENCH", "control.json"), "w") as f:
+            json.dump(
+                {
+                    "control": [
+                        {
+                            "master": n,
+                            "runs": rs,
+                            "best_wall": min(r["wall_sec"] for r in rs),
+                        }
+                        for n, rs in control_results.items()
+                        if rs
+                    ],
+                    "efficiency": summary.get("control", {}).get("efficiency"),
+                },
+                f,
+            )
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     out_path = os.path.join(REPO, "BENCH", f"scaling-{args.mode}-{args.profile}.json")
@@ -316,6 +379,15 @@ the MINIMUM (least-contended) wall is scored; every trial is listed.
         md += "\n| N -> 4N pair | efficiency |\n|---|---|\n"
         for pair, e in s["efficiency"].items():
             md += f"| {pair} | {e} |\n"
+        if s.get("control"):
+            md += (
+                f"\nPaired engine-free control in the SAME session (interleaved"
+                f" trials, same noise regime): control efficiency"
+                f" **{s['control']['efficiency']}**, engine-relative efficiency"
+                f" **{s.get('engine_relative_efficiency')}**"
+                f" (>= 1 means the engine scales at or above what this host"
+                f" permits any Spark workload).\n"
+            )
         md += "\n<details><summary>all trials</summary>\n\n"
         md += "| level | trial | wall (s) | events/s | host load at start |\n|---|---|---|---|---|\n"
         for name, rs in s["all_runs"].items():
