@@ -145,8 +145,15 @@ def fold_batch(
         )
         wide = events.groupBy(*key_columns).agg(*aggs)
         # per-key inner join of two already-key-partitioned singleton
-        # frames — no wide data moves
-        folded = wide.join(applied, key_columns, "inner")
+        # frames — no wide data moves. NULL-SAFE on the key columns: a
+        # null-key group survives both groupBys (groupBy keeps null keys)
+        # and must survive the re-join too — a plain equi-join would
+        # silently drop it, losing events for callers that bypass
+        # split_dead_letters' null-key quarantine (the COW merge join at
+        # merge.py uses eqNullSafe for the same reason).
+        w, a = wide.alias("w"), applied.alias("a")
+        cond = [F.col(f"w.{k}").eqNullSafe(F.col(f"a.{k}")) for k in key_columns]
+        folded = w.join(a, cond, "inner").select("w.*", F.col("a._applied"))
     else:
         # Two-phase salted aggregation for the pathological
         # one-key-dominates-the-batch case: partial per (key, salt), then

@@ -198,8 +198,15 @@ def merge_folded(
                     for c in payload_cols
                 ],
             )
+            # Partitioned per STREAM as well as per epoch: committed
+            # epochs are tracked per stream_id, so two streams merging
+            # into one table each get their own feed namespace — without
+            # it they would overwrite each other's epoch dirs and break
+            # the apply_changelog reconstruction guarantee.
+            # serving.read_changelog globs this layout AND the legacy
+            # flat ``epoch=*`` one.
             feed.write.mode("overwrite").parquet(
-                os.path.join(changelog_dir, f"epoch={epoch[1]}")
+                os.path.join(changelog_dir, f"stream={epoch[0]}", f"epoch={epoch[1]}")
             )
 
         if config.merge_mode == "mor":

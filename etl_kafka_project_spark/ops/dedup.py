@@ -21,13 +21,35 @@ agree on it byte-for-byte, which makes every stage oracle-checkable.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_kafka_project_spark.ops import load
 
 N_HASHES = 8
 N_BANDS = 4  # bands of 2 hashes each
+
+#: Degenerate-bucket guard for the LSH pair explodes. A bucket is a
+#: near-dup cluster, so membership SHOULD be small — but a corpus that
+#: skipped exact dedup can put millions of byte-identical docs in one
+#: bucket, which would grow a single non-spillable ``collect_set`` buffer
+#: and an O(n²) explode on one reducer row (the hot-key OOM pattern the
+#: fold explicitly avoids). Buckets larger than this are dropped BEFORE
+#: the collect (spillable window count over the same hash partitioning —
+#: no extra scan or exchange), bounding both the buffer (≤ cap ids) and
+#: the explode (≤ cap² pairs). Contract: run ``dedup_exact`` first —
+#: exact duplicates always share every band bucket, so after exact dedup
+#: a > MAX_LSH_BUCKET bucket is hash-collision noise, not signal.
+MAX_LSH_BUCKET = 10_000
+
+
+def _cap_buckets(bands: DataFrame, cap: int) -> DataFrame:
+    """Drop members of oversized (band, bucket) groups before collecting.
+
+    Window count shares the groupBy's hash partitioning, so Catalyst
+    plans ONE exchange for count + filter + the downstream collect."""
+    n = F.count(F.lit(1)).over(Window.partitionBy("band", "bucket"))
+    return bands.withColumn("_n", n).filter(F.col("_n") <= cap).drop("_n")
 
 #: word 3-gram shingles of lower-cased text (falls back to the whole text
 #: for degenerate short docs)
@@ -99,7 +121,9 @@ def lsh_candidate_pairs(spark: SparkSession, sf: str) -> DataFrame:
     stage of the pipeline. Bucket membership lists are small by design
     (a bucket is a near-dup cluster), so ``collect_set`` per bucket is
     bounded and the pair explode is quadratic only within a bucket —
-    exactly the candidate set LSH promises, never O(n²) overall."""
+    exactly the candidate set LSH promises, never O(n²) overall.
+    Degenerate buckets (> MAX_LSH_BUCKET members — possible only when
+    exact dedup was skipped) are dropped pre-collect, see _cap_buckets."""
     sig = minhash_signatures(spark, sf)
     band_structs = F.array(
         *[
@@ -115,7 +139,7 @@ def lsh_candidate_pairs(spark: SparkSession, sf: str) -> DataFrame:
     bands = sig.select("doc_id", F.explode(band_structs).alias("bb")).select(
         "doc_id", "bb.band", "bb.bucket"
     )
-    buckets = bands.groupBy("band", "bucket").agg(
+    buckets = _cap_buckets(bands, MAX_LSH_BUCKET).groupBy("band", "bucket").agg(
         F.array_sort(F.collect_set("doc_id")).alias("ids")
     )
     pair = F.explode(
@@ -280,7 +304,7 @@ def simhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
     bands = sim.select(
         F.struct("doc_id", "simhash32").alias("ds"), F.explode(band_structs).alias("bb")
     ).select("ds", "bb.band", "bb.bucket")
-    buckets = bands.groupBy("band", "bucket").agg(
+    buckets = _cap_buckets(bands, MAX_LSH_BUCKET).groupBy("band", "bucket").agg(
         F.array_sort(F.collect_set("ds")).alias("members")
     )
     pair = F.explode(

@@ -82,7 +82,7 @@ FROM events GROUP BY 1, 2
 """
 
 
-def asof_latest_event_per_order(spark: SparkSession, sf: str) -> DataFrame:
+def asof_prior_event_per_purchase(spark: SparkSession, sf: str) -> DataFrame:
     """As-of join (no native Spark operator): for each *purchase* event,
     the latest STRICTLY EARLIER event of the same user (any type) — i.e.
     "what was this user doing right before they bought". Expressed as
@@ -253,7 +253,7 @@ QUERIES = {
     "lww_latest_per_key": lww_latest_per_key,
     "dedup_exact_events": dedup_exact_events,
     "windowed_throughput": windowed_throughput,
-    "asof_latest_event_per_order": asof_latest_event_per_order,
+    "asof_prior_event_per_purchase": asof_prior_event_per_purchase,
     "clicks_without_purchase": clicks_without_purchase,
     "sessionize": sessionize,
     "pivot_event_counts": pivot_event_counts,
@@ -264,7 +264,7 @@ ORACLES = {
     "lww_latest_per_key": LWW_SQL,
     "dedup_exact_events": DEDUP_EVENTS_SQL,
     "windowed_throughput": WINDOWED_SQL,
-    "asof_latest_event_per_order": ASOF_SQL,
+    "asof_prior_event_per_purchase": ASOF_SQL,
     "clicks_without_purchase": CLICKS_NO_PURCHASE_SQL,
     "sessionize": SESSIONIZE_SQL,
     "pivot_event_counts": PIVOT_SQL,

@@ -95,17 +95,49 @@ def fill_none(df: DataFrame, placeholder: str = "None") -> DataFrame:
 # ---------- change feed (pub/sub analog) ----------
 
 
+def _changelog_globs(table_root: str) -> tuple[str, list[str]]:
+    """The feed dir plus whichever partition layouts exist on disk.
+
+    The merge writes ``changelog/stream=<id>/epoch=<n>`` (per-stream
+    namespacing, so two streams merging into one table can't clobber
+    each other's feed epochs); pre-round-3 tables have the flat
+    ``changelog/epoch=<n>`` layout. Both are globbed; mixed depths can't
+    share one ``basePath`` read, so callers read each and union."""
+    import glob as _glob
+
+    path = os.path.join(table_root, "changelog")
+    layouts = []
+    if _glob.glob(os.path.join(path, "stream=*", "epoch=*")):
+        layouts.append(os.path.join(path, "stream=*", "epoch=*"))
+    if _glob.glob(os.path.join(path, "epoch=*")):
+        layouts.append(os.path.join(path, "epoch=*"))
+    return path, layouts
+
+
 def read_changelog(
-    spark: SparkSession, table_root: str, from_epoch: int | None = None
+    spark: SparkSession,
+    table_root: str,
+    from_epoch: int | None = None,
+    stream_id: str | None = None,
 ) -> DataFrame:
     """Batch read of the outbound change feed written by the merge
     (``cdc/merge.py`` changelog_dir). One row per changed key per epoch:
-    ``(epoch, <keys>, op U/D, lsn, <payload>)``."""
-    path = os.path.join(table_root, "changelog")
-    df = (
-        spark.read.option("basePath", path)
-        .parquet(os.path.join(path, "epoch=*"))
-    )
+    ``(stream, epoch, <keys>, op U/D, lsn, <payload>)``; legacy flat
+    layouts surface ``stream`` as null."""
+    path, layouts = _changelog_globs(table_root)
+    parts = []
+    for g in layouts:
+        d = spark.read.option("basePath", path).parquet(g)
+        if "stream" not in d.columns:
+            d = d.withColumn("stream", F.lit(None).cast("string"))
+        parts.append(d)
+    if not parts:
+        raise FileNotFoundError(f"no changelog under {path}")
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    if stream_id is not None:
+        df = df.filter(F.col("stream") == stream_id)
     if from_epoch is not None:
         df = df.filter(F.col("epoch") >= from_epoch)
     return df
@@ -115,11 +147,14 @@ def stream_changelog(spark: SparkSession, table_root: str) -> DataFrame:
     """Streaming subscription to the change feed — the engine's
     ``subscribe_movie_updates`` (``graphql_interface.py:44-63``): a file-
     source tail of the changelog dir, ``outputMode('append')``-safe."""
-    path = os.path.join(table_root, "changelog")
-    schema = spark.read.option("basePath", path).parquet(os.path.join(path, "epoch=*")).schema
-    return spark.readStream.schema(schema).option("basePath", path).parquet(
-        os.path.join(path, "epoch=*")
-    )
+    path, layouts = _changelog_globs(table_root)
+    if not layouts:
+        raise FileNotFoundError(f"no changelog under {path}")
+    # one layout per subscription (mixed partition depths can't share a
+    # basePath); prefer the current stream=*/epoch=* layout
+    glob = layouts[0]
+    schema = spark.read.option("basePath", path).parquet(glob).schema
+    return spark.readStream.schema(schema).option("basePath", path).parquet(glob)
 
 
 def apply_changelog(

@@ -92,6 +92,24 @@ def test_out_of_order_within_batch_lsn_is_authority(spark):
     assert row["commit"] == "newest" and row["lang"] == "js" and row["content"] == "v1"
 
 
+def test_null_key_group_survives_fold(spark):
+    # A null key column must flow through the fold (groupBy keeps null
+    # keys; the _applied re-join is eqNullSafe). Callers normally
+    # quarantine null keys via split_dead_letters, but fold_batch itself
+    # must not silently lose them — regression for the round-3 advice.
+    out = _fold(
+        spark,
+        [
+            (1, "I", "r", None, "c1", "go", "v1"),
+            (2, "U", "r", None, "c2", None, None),
+            (3, "I", "r", "p", "cx", "py", "vx"),
+        ],
+    )
+    row = out[("r", None)]
+    assert row["commit"] == "c2" and row["lang"] == "go" and row["_applied"] == 2
+    assert out[("r", "p")]["_applied"] == 1
+
+
 def test_salted_fold_identical_to_plain(spark):
     rows = [
         (1, "I", "r", "p", "c1", "go", "v1"),

@@ -152,6 +152,64 @@ def test_changelog_as_kafka_messages(spark, replayed):
         assert {"op", "lsn"} <= set(doc)
 
 
+def test_changelog_two_streams_no_clobber(spark, tmp_path):
+    """Two streams merging into ONE table get separate feed namespaces
+    (``changelog/stream=<id>/epoch=<n>``) — same epoch id on both streams
+    must not overwrite each other's feed, and applying the combined feed
+    still reproduces the table's live state (round-3 advice)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from etl_kafka_project_spark.cdc.envelope import EVENT_SCHEMA
+
+    root = str(tmp_path / "table")
+    create_code_table(spark, root, CFG)
+
+    def events(rows):
+        cols = ["lsn", "op", "repo", "path", "commit", "lang", "content"]
+        pdf = pd.DataFrame(rows, columns=cols)
+        pdf["ts"] = pd.Timestamp("2024-01-01")
+        schema = T.StructType([f for f in EVENT_SCHEMA.fields])
+        return spark.createDataFrame(pdf[[f.name for f in schema.fields]], schema)
+
+    def job(sid):
+        return ReplayJob(
+            table_root=root,
+            stream_dir=str(tmp_path / "unused"),
+            checkpoint_dir=str(tmp_path / f"ckpt-{sid}"),
+            config=CFG,
+            stream_id=sid,
+        )
+
+    # LSN-disjoint streams, SAME epoch id 0 on both
+    job("stream-a").apply_epoch(
+        events([(1, "I", "ra", "p", "c1", "go", "va"), (2, "U", "ra", "p", "c2", None, None)]), 0
+    )
+    job("stream-b").apply_epoch(
+        events([(101, "I", "rb", "p", "c9", "py", "vb")]), 0
+    )
+
+    feed = serving.read_changelog(spark, root)
+    assert {r["stream"] for r in feed.select("stream").distinct().collect()} == {
+        "stream-a",
+        "stream-b",
+    }
+    only_a = serving.read_changelog(spark, root, stream_id="stream-a")
+    assert {r["repo"] for r in only_a.select("repo").distinct().collect()} == {"ra"}
+
+    payload = ["commit", "lang", "content"]
+    applied = serving.apply_changelog(feed, ["repo", "path"], payload)
+    got = applied.toPandas().sort_values(["repo", "path"]).reset_index(drop=True)
+    want = (
+        serving.latest(spark, root)
+        .select("repo", "path", *payload, "last_lsn")
+        .toPandas()
+        .sort_values(["repo", "path"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[want.columns], want, check_dtype=False)
+
+
 def test_apply_changelog_reproduces_table_state(spark, replayed):
     """Feed-fidelity (ADVICE round 1): a consumer applying the partial-
     update feed per its contract (per-column lsn LWW + reset barrier +
