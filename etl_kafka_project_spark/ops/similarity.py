@@ -20,6 +20,7 @@ list functions agree to well below the 6-decimal rounding.
 from __future__ import annotations
 
 import hashlib
+import os
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -146,12 +147,14 @@ SELECT vec_id, centroid_id, round(cos, 6) AS cosine FROM ranked WHERE rk = 1
 
 
 def ivf_query_topk(spark: SparkSession, sf: str) -> DataFrame:
-    """The IVF QUERY path (completes the IVF story: assignment + k-means
-    step + query): probe the ``nprobe=2`` centroids nearest the query
-    (vec 0), rank only vectors whose coarse assignment lands in a probed
-    posting list, return the top-5. At 100 TB the posting lists are
-    partition keys, so the candidate scan reads ~nprobe/k of the data —
-    the centroid probe and the query vector are driver-small broadcasts."""
+    """The IVF QUERY semantics, index-free: probe the ``nprobe=2``
+    centroids nearest the query (vec 0), rank only vectors whose coarse
+    assignment lands in a probed posting list, return the top-5. This
+    form re-derives the coarse assignment inline, so EVERY query pays a
+    full-corpus scan — fine as the oracle-checkable single-plan
+    demonstration, wrong as the serving path. The scale path is
+    ``ivf_query_topk_indexed``: assignment materialized once as a
+    centroid-partitioned index, queries read only probed partitions."""
     e = load(spark, sf, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
@@ -216,11 +219,112 @@ LIMIT 5
 """
 
 
+# ---------- materialized IVF index (the 100 TB query path) ----------
+
+#: nprobe for the query path (probe the 2 nearest of 4 coarse centroids)
+NPROBE = 2
+
+#: index store: tmpfs when present (stands in for the NVMe/DFS a real
+#: cluster keeps indexes on), /tmp otherwise
+_IVF_ROOT = (
+    "/dev/shm/spark_graft_ivf" if os.path.isdir("/dev/shm") else "/tmp/spark_graft_ivf"
+)
+
+
+def ivf_index_dir(sf: str) -> str:
+    """Stable on-disk location of the materialized index for a dataset."""
+    key = hashlib.md5(os.path.abspath(sf).encode()).hexdigest()[:12]
+    return os.path.join(_IVF_ROOT, f"index-{key}")
+
+
+def build_ivf_index(spark: SparkSession, sf: str, index_dir: str | None = None) -> str:
+    """Materialize the IVF index: every vector + its coarse assignment,
+    written as parquet PARTITIONED BY centroid_id (hive layout), so a
+    query's posting-list read is literal partition pruning at the scan.
+
+    This is the piece the plain ``ivf_query_topk`` demonstration skips —
+    there, every query re-runs the full coarse assignment, a full-corpus
+    scan per query. Building once amortizes that scan across all queries:
+    at 100 TB the build is one pass + one shuffle-free partitioned write,
+    and each query then touches ~nprobe/k of the files (verified live by
+    ``tools/explain_audit.py``: PartitionFilters on centroid_id, and by
+    ``tests/test_ivf_index.py``: input_file_name confined to probed
+    partitions). Idempotent via a _DONE marker."""
+    index_dir = index_dir or ivf_index_dir(sf)
+    if os.path.exists(os.path.join(index_dir, "_DONE")):
+        return index_dir
+    e = load(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cents = e.filter(F.col("vec_id") <= 3).select(
+        F.col("vec_id").alias("centroid_id"), F.col("v").alias("c")
+    )
+    scored = e.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "v", "centroid_id", _cosine("v", "c").alias("_cos")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("_cos"), "centroid_id")
+    assign = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "v", "centroid_id")
+    )
+    assign.write.mode("overwrite").partitionBy("centroid_id").parquet(index_dir)
+    open(os.path.join(index_dir, "_DONE"), "w").write("ok")
+    return index_dir
+
+
+def ivf_query_topk_indexed(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF query against the MATERIALIZED index: probe the NPROBE
+    centroids nearest the query (a driver-side O(k) decision, exactly
+    how a production IVF serves queries), then scan ONLY the probed
+    posting-list partitions — the candidate read is partition-pruned at
+    the parquet source, so each query touches ~nprobe/k of the corpus
+    instead of re-deriving the full assignment (the plain
+    ``ivf_query_topk``'s acknowledged scale caveat). Same result as the
+    index-free path; same DuckDB oracle."""
+    index_dir = build_ivf_index(spark, sf)
+    e = load(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cents = e.filter(F.col("vec_id") <= 3).select(
+        F.col("vec_id").alias("centroid_id"), F.col("v").alias("c")
+    )
+    q = e.filter(F.col("vec_id") == 0).select(F.col("v").alias("q"))
+    probed_ids = [
+        r["centroid_id"]
+        for r in (
+            cents.crossJoin(F.broadcast(q))
+            .select("centroid_id", _cosine("c", "q").alias("_qc"))
+            .orderBy(F.desc("_qc"), "centroid_id")
+            .limit(NPROBE)
+            .collect()
+        )
+    ]
+    cand = (
+        spark.read.parquet(index_dir)
+        # literal IN-list on the partition column → PartitionFilters;
+        # only the probed posting lists are listed and scanned
+        .filter(F.col("centroid_id").isin(probed_ids))
+        .filter(F.col("vec_id") != 0)
+    )
+    ranked = cand.crossJoin(F.broadcast(q)).select(
+        "vec_id",
+        F.col("centroid_id").cast("long").alias("centroid_id"),
+        _cosine("v", "q").alias("_cos"),
+    )
+    return (
+        ranked.orderBy(F.desc("_cos"), "vec_id")
+        .limit(5)
+        .select("vec_id", "centroid_id", F.round("_cos", 6).alias("cosine"))
+    )
+
+
 QUERIES = {
     "ann_bruteforce_topk": ann_bruteforce_topk,
     "ann_lsh_buckets": ann_lsh_buckets,
     "ivf_coarse_assignment": ivf_coarse_assignment,
     "ivf_query_topk": ivf_query_topk,
+    "ivf_query_topk_indexed": ivf_query_topk_indexed,
 }
 
 ORACLES = {
@@ -228,4 +332,5 @@ ORACLES = {
     "ann_lsh_buckets": ANN_LSH_SQL,
     "ivf_coarse_assignment": IVF_SQL,
     "ivf_query_topk": IVF_QUERY_SQL,
+    "ivf_query_topk_indexed": IVF_QUERY_SQL,
 }
