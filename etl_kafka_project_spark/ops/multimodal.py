@@ -139,10 +139,45 @@ def sample_frames(df: DataFrame, n_frames: int = N_FRAMES) -> DataFrame:
     return df.select("doc_id", "payload").mapInPandas(batch_frames, _FRAME_SCHEMA)
 
 
+def sample_frames_builtin(df: DataFrame, n_frames: int = N_FRAMES) -> DataFrame:
+    """The pure-expression twin of ``sample_frames``: explode(sequence)
+    × floor-div offset × substring/ascii on the binary payload — whole-
+    stage-codegen JVM work, zero Python. For the byte-offset stand-in
+    this IS the right production plan; ``sample_frames``' mapInPandas
+    body exists to model per-payload CODEC work (real frame extraction
+    can't be a SQL expression). A pinned test asserts both return
+    identical rows, proving the Python loop is a codec placeholder, not
+    a semantic dependency."""
+    n = F.octet_length("payload")
+    d = df.select(
+        "doc_id",
+        "payload",
+        n.alias("_n"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_frames - 1))).alias("frame_idx"),
+    ).withColumn(
+        "offset", F.floor(F.col("frame_idx") * F.col("_n") / F.lit(n_frames)).cast("int")
+    )
+    return (
+        d.filter(F.col("offset") < F.col("_n"))
+        .withColumn(
+            "byte_val",
+            F.expr("ascii(decode(substring(payload, offset + 1, 1), 'UTF-8'))").cast("int"),
+        )
+        .select("doc_id", F.col("frame_idx").cast("int").alias("frame_idx"), "offset", "byte_val")
+    )
+
+
 def multimodal_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
     """Frame sampling as an oracle-checked query (ASCII payloads make
     the sampled byte SQL-expressible as a codepoint)."""
     return sample_frames(pack_binary(load(spark, sf, "documents")))
+
+
+def multimodal_frame_sample_builtin(spark: SparkSession, sf: str) -> DataFrame:
+    """Frame sampling via built-in expressions only (same oracle as the
+    mapInPandas form) — the plan to ship when the 'frame' really is a
+    byte offset; see ``sample_frames_builtin``."""
+    return sample_frames_builtin(pack_binary(load(spark, sf, "documents")))
 
 
 MULTIMODAL_FRAMES_SQL = f"""
@@ -204,10 +239,12 @@ QUERIES = {
     "multimodal_meta": multimodal_meta,
     "multimodal_features": multimodal_features,
     "multimodal_frame_sample": multimodal_frame_sample,
+    "multimodal_frame_sample_builtin": multimodal_frame_sample_builtin,
 }
 
 ORACLES = {
     "multimodal_meta": MULTIMODAL_META_SQL,
     "multimodal_features": MULTIMODAL_FEATURES_SQL,
     "multimodal_frame_sample": MULTIMODAL_FRAMES_SQL,
+    "multimodal_frame_sample_builtin": MULTIMODAL_FRAMES_SQL,
 }
