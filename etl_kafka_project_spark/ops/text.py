@@ -185,6 +185,55 @@ FROM documents
 """
 
 
+def _quality_cols(text: F.Column) -> dict[str, F.Column]:
+    """The quality-score feature expressions over an arbitrary text
+    column (the frame-level form of ``quality_score``)."""
+    toks = F.split(F.lower(text), " ")
+    n_tok = F.size(toks)
+    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    n_uniq = F.size(F.array_distinct(toks))
+    stop_ratio = F.round(n_stop.cast("double") / n_tok.cast("double"), 4)
+    diversity = F.round(n_uniq.cast("double") / n_tok.cast("double"), 4)
+    len_sat = F.round(F.least(F.length(text), F.lit(500)).cast("double") / 500.0, 4)
+    si = F.round(stop_ratio * 10000).cast("long")
+    di = F.round(diversity * 10000).cast("long")
+    li = F.round(len_sat * 10000).cast("long")
+    quality = 4 * li + 3 * di + 3 * (10000 - F.least(2 * si, F.lit(10000)))
+    return {"n_tokens": n_tok, "quality_scaled": quality}
+
+
+def corpus_filter_frame(
+    df: DataFrame,
+    id_cols: list[str],
+    content_col: str = "text",
+    lang_col: str = "lang",
+    lang_value: str = "en",
+    min_quality: int = 60000,
+) -> DataFrame:
+    """Frame-level pretraining corpus filter: exact-dedup (keep the
+    lowest id tuple per identical content) ∘ language gate ∘ quality
+    gate — over ANY content-bearing frame, so the same operator runs on
+    the static ``documents`` table AND on the live lake table a CDC
+    replay produces (the round-3 end-to-end composition). Gates are
+    plain predicates Catalyst pushes to the scan; the dedup keeper is a
+    partial-aggregated groupBy + an id equi-join; composite ids keep via
+    ``min(struct(ids...))`` (same shape, orderable tuple)."""
+    text = F.col(content_col)
+    qc = _quality_cols(text)
+    keepers = (
+        df.groupBy(F.sha2(text, 256).alias("_sha"))
+        .agg(F.min(F.struct(*id_cols)).alias("_keep"))
+        .select(*[F.col(f"_keep.{c}").alias(c) for c in id_cols])
+    )
+    return (
+        df.join(keepers, id_cols)
+        .filter(text.isNotNull() & (F.col(lang_col) == lang_value))
+        .select(*id_cols, qc["n_tokens"].alias("n_tokens"), qc["quality_scaled"].alias("quality_scaled"))
+        .filter(F.col("quality_scaled") >= min_quality)
+    )
+
+
 def pretrain_corpus_filter(spark: SparkSession, sf: str) -> DataFrame:
     """The pretraining-data pipeline end to end, as one declarative
     plan: exact-dedup (keep the lowest doc_id per identical content) ∘
@@ -192,18 +241,8 @@ def pretrain_corpus_filter(spark: SparkSession, sf: str) -> DataFrame:
     i.e. the kept corpus a training run would actually read. Every
     stage is a prior oracle-checked operator; the composition shuffles
     once for the dedup groupBy and once for the keeper join."""
-    q = quality_score(spark, sf)
-    d = load(spark, sf, "documents")
-    keepers = (
-        d.groupBy(F.sha2("text", 256).alias("content_sha256"))
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
-    )
-    return (
-        d.join(keepers, "doc_id")
-        .join(q, "doc_id")
-        .filter((F.col("lang") == "en") & (F.col("quality_scaled") >= 60000))
-        .select("doc_id", "n_tokens", "quality_scaled")
+    return corpus_filter_frame(
+        load(spark, sf, "documents"), ["doc_id"], "text", "lang", "en", 60000
     )
 
 
