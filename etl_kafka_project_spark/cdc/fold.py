@@ -60,11 +60,26 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 #: LSN sentinel for "this column was never set by a surviving event".
 NEVER = -1
+
+#: Cap on the per-key distinct-lsn sample carried in ``_lsns`` (the
+#: SMALLEST ``LSN_SAMPLE + 1`` distinct lsns of the batch, sorted; size
+#: == LSN_SAMPLE + 1 marks truncation). The merge paths use it to count
+#: EXACTLY how many of a batch's events were verbatim re-deliveries of
+#: already-applied lsns (overlap = lsns <= the target's prior max), so
+#: ``row_version`` counts each event once even when a batch MIXES a
+#: key's re-delivered old events with new ones — a case the whole-row
+#: staleness guards cannot see (found by the round-3 Hypothesis test).
+#: Smallest-first is the right truncation: stale lsns are by definition
+#: the small ones, so the overlap count stays exact unless a single key
+#: re-delivers > LSN_SAMPLE events in one batch (then the counter
+#: over-counts conservatively — values are never affected). Memory is
+#: bounded: the window rank caps the collect at LSN_SAMPLE+1 rows/key.
+LSN_SAMPLE = 256
 
 
 def fold_batch(
@@ -124,58 +139,72 @@ def fold_batch(
     for c in payload_columns:
         aggs += cell_aggs(c)
 
-    if salt is None:
-        # _applied = exact count of DISTINCT lsns per key, computed on a
-        # NARROW (key, lsn) projection as a two-phase hash aggregation:
-        # phase 1 groups by (key, lsn) — map-side partials dedup
-        # verbatim replay duplicates locally AND spread a hot key across
-        # reducers by lsn — phase 2 counts per key. Both phases are
-        # spillable hash aggregates over ~16-byte rows. (Round 1 used
-        # size(collect_set(lsn)) here, whose single non-spillable
-        # aggregation buffer grows O(events-per-key) on the reducer —
-        # exactly the hot-key OOM the fold's design is meant to avoid.
-        # count_distinct in the SAME agg is no better: mixing it with
-        # max_by flips the whole wide-payload fold to a SortAggregate.)
-        applied = (
-            events.select(*key_columns, lsn_col)
-            .groupBy(*key_columns, lsn_col)
-            .agg(F.lit(1))
-            .groupBy(*key_columns)
-            .agg(F.count(F.lit(1)).alias("_applied"))
+    # _applied = exact count of DISTINCT lsns per key, computed on a
+    # NARROW (key, lsn) projection as a two-phase hash aggregation:
+    # phase 1 groups by (key, lsn) — map-side partials dedup verbatim
+    # replay duplicates locally AND spread a hot key across reducers by
+    # lsn — phase 2 counts per key. Both phases are spillable hash
+    # aggregates over ~16-byte rows. (Round 1 used size(collect_set(lsn))
+    # here, whose single non-spillable aggregation buffer grows
+    # O(events-per-key) on the reducer — exactly the hot-key OOM the
+    # fold's design is meant to avoid. count_distinct in the SAME agg is
+    # no better: mixing it with max_by flips the whole wide-payload fold
+    # to a SortAggregate.)
+    #
+    # _lsns = the SMALLEST LSN_SAMPLE+1 distinct lsns, sorted — the
+    # bounded per-key sample the merge paths use to subtract verbatim
+    # cross-epoch re-deliveries from row_version exactly (see LSN_SAMPLE
+    # above). The row_number window bounds the collect_list buffer at
+    # LSN_SAMPLE+1 narrow rows per key, and shares the final groupBy's
+    # hash partitioning (one exchange covers both).
+    wn = Window.partitionBy(*key_columns).orderBy(F.col(lsn_col))
+    applied = (
+        events.select(*key_columns, lsn_col)
+        .groupBy(*key_columns, lsn_col)
+        .agg(F.lit(1))
+        .withColumn("_rn", F.row_number().over(wn))
+        .groupBy(*key_columns)
+        .agg(
+            F.count(F.lit(1)).alias("_applied"),
+            F.sort_array(
+                F.collect_list(F.when(F.col("_rn") <= LSN_SAMPLE + 1, F.col(lsn_col)))
+            ).alias("_lsns"),
         )
+    )
+
+    if salt is None:
         wide = events.groupBy(*key_columns).agg(*aggs)
-        # per-key inner join of two already-key-partitioned singleton
-        # frames — no wide data moves. NULL-SAFE on the key columns: a
-        # null-key group survives both groupBys (groupBy keeps null keys)
-        # and must survive the re-join too — a plain equi-join would
-        # silently drop it, losing events for callers that bypass
-        # split_dead_letters' null-key quarantine (the COW merge join at
-        # merge.py uses eqNullSafe for the same reason).
-        w, a = wide.alias("w"), applied.alias("a")
-        cond = [F.col(f"w.{k}").eqNullSafe(F.col(f"a.{k}")) for k in key_columns]
-        folded = w.join(a, cond, "inner").select("w.*", F.col("a._applied"))
     else:
         # Two-phase salted aggregation for the pathological
         # one-key-dominates-the-batch case: partial per (key, salt), then
         # final per key. Exactly correct because max/max_by are
-        # associative + commutative over unique lsns — so duplicates ARE
-        # pre-dropped here (count partials must not double-count).
+        # associative + commutative over unique lsns.
         ev = events.dropDuplicates([*key_columns, lsn_col])
         partial = ev.groupBy(
             *key_columns, F.pmod(F.col(lsn_col), F.lit(salt)).alias("_salt")
-        ).agg(*aggs, F.count(F.lit(1)).alias("_applied"))
+        ).agg(*aggs)
         final_aggs = [
             F.max("_max_lsn").alias("_max_lsn"),
             F.max("_last_d_lsn").alias("_last_d_lsn"),
             F.max("_last_reset_lsn").alias("_last_reset_lsn"),
-            F.sum("_applied").alias("_applied"),
         ]
         for c in payload_columns:
             final_aggs += [
                 F.max_by(F.col(f"_v_{c}"), F.col(f"_l_{c}")).alias(f"_v_{c}"),
                 F.max(F.col(f"_l_{c}")).alias(f"_l_{c}"),
             ]
-        folded = partial.groupBy(*key_columns).agg(*final_aggs)
+        wide = partial.groupBy(*key_columns).agg(*final_aggs)
+
+    # per-key inner join of two already-key-partitioned singleton
+    # frames — no wide data moves. NULL-SAFE on the key columns: a
+    # null-key group survives both groupBys (groupBy keeps null keys)
+    # and must survive the re-join too — a plain equi-join would
+    # silently drop it, losing events for callers that bypass
+    # split_dead_letters' null-key quarantine (the COW merge join at
+    # merge.py uses eqNullSafe for the same reason).
+    w, a = wide.alias("w"), applied.alias("a")
+    cond = [F.col(f"w.{k}").eqNullSafe(F.col(f"a.{k}")) for k in key_columns]
+    folded = w.join(a, cond, "inner").select("w.*", F.col("a._applied"), F.col("a._lsns"))
 
     # Post-aggregation resolution: discard value cells at or below the
     # newest delete (they were erased), surface (value, value_lsn) pairs.
@@ -187,6 +216,7 @@ def fold_batch(
             "_is_delete"
         ),
         F.col("_applied"),
+        F.col("_lsns"),
     ]
     # a cell survives if it is newer than the newest delete (strict — a D
     # erases everything at its lsn) and not older than the newest reset

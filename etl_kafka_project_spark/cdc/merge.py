@@ -102,6 +102,138 @@ class MergeStats:
     per_bucket: list[dict]
     snapshot_version: int | None = None
     skipped: bool = False
+    #: hottest key's folded event count (adaptive-salting signal). The
+    #: MOR fast path carries it here (global, from the write job's
+    #: observation); the COW path also repeats it per bucket.
+    max_key_events: int = 0
+    #: [min, max] _max_lsn of the batch (MOR fast path; COW carries the
+    #: same per bucket)
+    lsn_range: list[int] | None = None
+
+
+def _write_changelog(
+    folded: DataFrame,
+    key_cols: list[str],
+    payload_cols: list[str],
+    changelog_dir: str,
+    epoch: tuple[str, int],
+) -> None:
+    """Publish the batch's FOLDED per-key actions as the outbound change
+    feed — O(batch) work, no extra table read. To make partial updates
+    applicable without clobbering untouched columns with nulls, each
+    payload column ships its write-lsn (``{c}_lsn``, null = this batch
+    did not write the column) plus the reset barrier (``reset_lsn``: an
+    I/D at that lsn nulls every column whose stored write is older).
+    Consumer contract, per key in lsn order: if op='D' delete; else for
+    each column with non-null {c}_lsn newer than the consumer's stored
+    cell, take the value; then null out any stored cell older than
+    reset_lsn. Applying the feed this way reproduces the table's
+    resolved rows exactly (cdc/fold.py semantics).
+
+    Partitioned per STREAM as well as per epoch: committed epochs are
+    tracked per stream_id, so two streams merging into one table each
+    get their own feed namespace — without it they would overwrite each
+    other's epoch dirs and break the apply_changelog reconstruction
+    guarantee. serving.read_changelog globs this layout AND the legacy
+    flat ``epoch=*`` one. Written idempotently (overwrite) BEFORE the
+    data commit, so a crash-retry regenerates identical content.
+    """
+    feed = folded.select(
+        *key_cols,
+        F.when(F.col("_is_delete"), F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        F.col("_max_lsn").alias("lsn"),
+        F.col("_last_reset_lsn").alias("reset_lsn"),
+        *payload_cols,
+        *[
+            F.when(F.col(f"{c}_lsn") > NEVER, F.col(f"{c}_lsn")).alias(f"{c}_lsn")
+            for c in payload_cols
+        ],
+    )
+    feed.write.mode("overwrite").parquet(
+        os.path.join(changelog_dir, f"stream={epoch[0]}", f"epoch={epoch[1]}")
+    )
+
+
+def _merge_mor(
+    table: LakeTable,
+    folded: DataFrame,
+    snap,
+    key_cols: list[str],
+    payload_cols: list[str],
+    epoch: tuple[str, int] | None,
+    changelog_dir: str | None,
+    t0: float,
+) -> MergeStats:
+    """Merge-on-read epoch apply: ONE batch-scale job.
+
+    The folded actions append as delta files — O(batch) bytes written;
+    resolution happens at read (cdc/mor.py), compaction amortizes it
+    (stream.py schedules). The round-2 shape ran a separate stats job
+    (groupBy(_bucket).collect) over a persisted fold BEFORE writing; now
+    an ``Observation`` (CollectMetrics) rides the write job itself, so
+    the fold computes exactly once, nothing is cached, and the
+    per-trigger serial floor sheds a whole job's plan/schedule/collect
+    round-trip — the floor is what caps sustained scaling efficiency
+    (BENCH/BASELINE.md). Per-bucket lineage (keys per bucket) falls out
+    of the written file manifest entries for free; batch-global stats
+    (deletes, applied events, lsn range, hottest key) come from the
+    observation.
+    """
+    from pyspark.sql import Observation
+
+    from etl_kafka_project_spark.cdc.mor import write_delta_files
+
+    obs = Observation()
+    observed = folded.observe(
+        obs,
+        F.count(F.lit(1)).alias("keys"),
+        F.sum(F.col("_is_delete").cast("long")).alias("deletes"),
+        F.sum("_applied").alias("events"),
+        F.min("_max_lsn").alias("min_lsn"),
+        F.max("_max_lsn").alias("max_lsn"),
+        F.max("_applied").alias("max_key_events"),
+    )
+    # the feed is a second consumer of the fold — only then is caching
+    # worth the materialization cost
+    cached = changelog_dir is not None and epoch is not None
+    if cached:
+        observed.persist()
+    try:
+        if cached:
+            _write_changelog(observed, key_cols, payload_cols, changelog_dir, epoch)
+        new_files = write_delta_files(table, observed, snap)
+    finally:
+        if cached:
+            observed.unpersist()
+    m = obs.get  # write job has run; never blocks here
+    n_keys = int(m["keys"] or 0)
+    if n_keys == 0:
+        return MergeStats(
+            epoch_id=epoch[1] if epoch else None,
+            events_in=0, keys=0, upserts=0, deletes=0, touched_buckets=0,
+            wall_ms=(time.time() - t0) * 1000, per_bucket=[],
+            snapshot_version=snap.version, skipped=False,
+        )
+    n_deletes = int(m["deletes"] or 0)
+    bucket_keys: dict[int, int] = {}
+    for fe in new_files:
+        bucket_keys[fe.bucket] = bucket_keys.get(fe.bucket, 0) + fe.rows
+    committed = table.commit(
+        expected_version=snap.version, new_files=new_files, epoch=epoch
+    )
+    return MergeStats(
+        epoch_id=epoch[1] if epoch else None,
+        events_in=int(m["events"] or 0),
+        keys=n_keys,
+        upserts=n_keys - n_deletes,
+        deletes=n_deletes,
+        touched_buckets=len(bucket_keys),
+        wall_ms=(time.time() - t0) * 1000,
+        per_bucket=[{"_bucket": b, "keys": k} for b, k in sorted(bucket_keys.items())],
+        snapshot_version=committed.version,
+        max_key_events=int(m["max_key_events"] or 0),
+        lsn_range=[int(m["min_lsn"]), int(m["max_lsn"])],
+    )
 
 
 def merge_folded(
@@ -135,6 +267,13 @@ def merge_folded(
     ]
 
     folded = folded.withColumn("_bucket", table.bucket_expr(snap))
+
+    if config.merge_mode == "mor":
+        return _merge_mor(
+            table, folded, snap, key_cols, payload_cols,
+            epoch=epoch, changelog_dir=changelog_dir, t0=t0,
+        )
+
     folded.persist()
     try:
         # One small job yields BOTH the touched-bucket set (partition
@@ -174,62 +313,7 @@ def merge_folded(
             )
 
         if changelog_dir is not None and epoch is not None:
-            # The feed publishes the batch's FOLDED per-key actions, not
-            # post-merge resolved documents — O(batch) work, no extra
-            # table read. To make partial updates applicable without
-            # clobbering untouched columns with nulls, each payload
-            # column ships its write-lsn (`{c}_lsn`, null = this batch
-            # did not write the column) plus the reset barrier
-            # (`reset_lsn`: an I/D at that lsn nulls every column whose
-            # stored write is older). Consumer contract, per key in lsn
-            # order: if op='D' delete; else for each column with
-            # non-null {c}_lsn newer than the consumer's stored cell,
-            # take the value; then null out any stored cell older than
-            # reset_lsn. Applying the feed this way reproduces the
-            # table's resolved rows exactly (cdc/fold.py semantics).
-            feed = folded.select(
-                *key_cols,
-                F.when(F.col("_is_delete"), F.lit("D")).otherwise(F.lit("U")).alias("op"),
-                F.col("_max_lsn").alias("lsn"),
-                F.col("_last_reset_lsn").alias("reset_lsn"),
-                *payload_cols,
-                *[
-                    F.when(F.col(f"{c}_lsn") > NEVER, F.col(f"{c}_lsn")).alias(f"{c}_lsn")
-                    for c in payload_cols
-                ],
-            )
-            # Partitioned per STREAM as well as per epoch: committed
-            # epochs are tracked per stream_id, so two streams merging
-            # into one table each get their own feed namespace — without
-            # it they would overwrite each other's epoch dirs and break
-            # the apply_changelog reconstruction guarantee.
-            # serving.read_changelog globs this layout AND the legacy
-            # flat ``epoch=*`` one.
-            feed.write.mode("overwrite").parquet(
-                os.path.join(changelog_dir, f"stream={epoch[0]}", f"epoch={epoch[1]}")
-            )
-
-        if config.merge_mode == "mor":
-            # merge-on-read: append the folded actions as delta files —
-            # O(batch) bytes written; resolution happens at read
-            # (cdc/mor.py), compaction amortizes it (stream.py schedules)
-            from etl_kafka_project_spark.cdc.mor import write_delta_files
-
-            new_files = write_delta_files(table, folded, snap)
-            committed = table.commit(
-                expected_version=snap.version, new_files=new_files, epoch=epoch
-            )
-            return MergeStats(
-                epoch_id=epoch[1] if epoch else None,
-                events_in=events_in,
-                keys=n_keys,
-                upserts=n_keys - n_deletes,
-                deletes=n_deletes,
-                touched_buckets=len(touched),
-                wall_ms=(time.time() - t0) * 1000,
-                per_bucket=per_bucket,
-                snapshot_version=committed.version,
-            )
+            _write_changelog(folded, key_cols, payload_cols, changelog_dir, epoch)
 
         target = table.read(buckets=touched, include_tombstones=True).alias("t")
         src = folded.alias("s")
@@ -291,10 +375,23 @@ def merge_folded(
             .otherwise(F.greatest(F.col("s._max_lsn"), F.coalesce(F.col("t.last_lsn"), F.lit(NEVER))))
             .alias("last_lsn")
         )
+        # row_version increment = the batch's distinct-lsn count MINUS
+        # the overlap with what this key already applied: a batch that
+        # MIXES verbatim re-deliveries of old events with new ones slips
+        # past the whole-row `stale` guard (its _max_lsn is newer), and
+        # without the subtraction each re-delivered event would count
+        # twice. Overlap = sampled batch lsns <= t.last_lsn (under the
+        # delivery contract those are exactly the re-deliveries; see
+        # cdc/fold.py LSN_SAMPLE — truncation over-counts conservatively,
+        # values are never affected).
+        overlap = F.when(
+            ~t_absent & F.col("s._lsns").isNotNull(),
+            F.size(F.filter(F.col("s._lsns"), lambda x: x <= F.col("t.last_lsn"))),
+        ).otherwise(F.lit(0))
         out.append(
             (
                 F.coalesce(F.col("t.row_version"), F.lit(0))
-                + F.when(keep_t, F.lit(0)).otherwise(F.col("s._applied"))
+                + F.when(keep_t, F.lit(0)).otherwise(F.col("s._applied") - overlap)
             ).alias("row_version")
         )
         out.append(

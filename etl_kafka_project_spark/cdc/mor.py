@@ -37,7 +37,7 @@ from etl_kafka_project_spark.cdc.fold import NEVER
 from etl_kafka_project_spark.minilake.table import FileEntry, LakeTable, Snapshot
 
 #: meta columns of a delta row (fold output + sha)
-DELTA_META = ["_max_lsn", "_last_d_lsn", "_last_reset_lsn", "_is_delete", "_applied"]
+DELTA_META = ["_max_lsn", "_last_d_lsn", "_last_reset_lsn", "_is_delete", "_applied", "_lsns"]
 
 
 def _payload_cols(snap: Snapshot) -> list[str]:
@@ -63,6 +63,13 @@ def delta_schema(snap: Snapshot) -> T.StructType:
         T.StructField("_last_reset_lsn", T.LongType(), True),
         T.StructField("_is_delete", T.BooleanType(), True),
         T.StructField("_applied", T.LongType(), True),
+        # bounded sample of the batch's smallest distinct lsns for the
+        # key (cdc/fold.py LSN_SAMPLE): lets the resolve subtract the
+        # EXACT overlap with earlier commits when one batch mixes
+        # re-delivered old events with new ones — the case the whole-row
+        # staleness guard below cannot see. Old delta files null-fill
+        # (no subtraction, the round-2 behavior).
+        T.StructField("_lsns", T.ArrayType(T.LongType()), True),
         # commit-order stamp (the writing commit's parent snapshot
         # version): lets the resolve detect cross-epoch re-delivery —
         # a delta row whose _max_lsn is not newer than everything an
@@ -109,6 +116,9 @@ def _encode_base_as_delta(base: DataFrame, snap: Snapshot) -> DataFrame:
         F.when(dead, F.col("last_lsn")).alias("_last_reset_lsn"),
         dead.alias("_is_delete"),
         F.col("row_version").alias("_applied"),
+        # a resolved base carries no per-event lsn sample (its count is
+        # already net of every earlier overlap)
+        F.lit(None).cast(T.ArrayType(T.LongType())).alias("_lsns"),
         # base precedes every live delta in commit order
         F.lit(-1).cast("long").alias("_writer_version"),
     ]
@@ -153,13 +163,26 @@ def resolve_deltas(base: DataFrame, deltas: DataFrame, snap: Snapshot) -> DataFr
     # only stamped delta rows (version >= 0) can be stale: the encoded
     # base (-1) is the earliest by construction, and legacy unstamped
     # deltas (null) fall back to the round-1 behavior (never suppressed)
-    stale_redelivery = (
-        F.col("_writer_version").isNotNull()
-        & (F.col("_writer_version") >= 0)
-        & (F.col("_max_lsn") <= F.coalesce(prior_max, F.lit(NEVER)))
+    stamped = F.col("_writer_version").isNotNull() & (F.col("_writer_version") >= 0)
+    stale_redelivery = stamped & (
+        F.col("_max_lsn") <= F.coalesce(prior_max, F.lit(NEVER))
     )
+    union = union.withColumn("_prior", F.coalesce(prior_max, F.lit(NEVER)))
+    # MIXED batches (re-delivered old events + new ones in one commit)
+    # pass the whole-row guard above because their _max_lsn IS newer;
+    # the lsn sample makes the overlap countable: every distinct batch
+    # lsn <= the prior commits' max is, under the delivery contract, a
+    # verbatim re-delivery already counted by an earlier commit. Values
+    # are unaffected either way (max_by ties carry identical payloads);
+    # only the _applied count must shed the overlap. Truncated samples
+    # (cdc/fold.py LSN_SAMPLE) under-subtract, i.e. row_version
+    # over-counts conservatively, never loses events.
+    overlap = F.size(F.filter(F.col("_lsns"), lambda x: x <= F.col("_prior")))
     union = union.withColumn(
-        "_applied", F.when(stale_redelivery, F.lit(0)).otherwise(F.col("_applied"))
+        "_applied",
+        F.when(stale_redelivery, F.lit(0))
+        .when(stamped & F.col("_lsns").isNotNull(), F.col("_applied") - overlap)
+        .otherwise(F.col("_applied")),
     )
 
     def ord_of(c: str) -> F.Column:
