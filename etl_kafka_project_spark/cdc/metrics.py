@@ -9,7 +9,13 @@ alongside the checkpoint for crash-resume"):
     {stream_id, epoch, ts, events_in, keys, upserts, deletes,
      dead_letters: {reason: n}, touched_buckets, snapshot_version,
      wall_ms, events_per_sec, skipped,
+     max_key_events, lsn_range: [min, max],
      per_bucket: [{_bucket, keys, deletes, events, min_lsn, max_lsn}, ...]}
+
+(The MOR fast path observes batch-global stats on the write job itself,
+so its per_bucket entries carry {_bucket, keys} — from the commit's file
+manifest — with the global fields at the top level; the COW path still
+records the full per-bucket breakdown.)
 
 Writes are atomic (tmp + rename) and keyed by epoch id, so a replayed
 epoch after crash-resume overwrites its own document — lineage stays
@@ -64,6 +70,8 @@ class LineageLog:
                 round(stats.events_in / wall_s, 3) if wall_s > 0 and stats.events_in > 0 else None
             ),
             "skipped": skipped,
+            "max_key_events": stats.max_key_events,
+            "lsn_range": stats.lsn_range,
             "per_bucket": stats.per_bucket,
             **(extra or {}),
         }

@@ -105,14 +105,24 @@ class ReplayJob:
         table = LakeTable(spark, self.table_root)
         lineage = LineageLog(self.lineage_dir, self.stream_id)
 
+        dead_path = os.path.join(self.dead_letter_dir, f"epoch={epoch_id}")
         if table.snapshot().has_epoch(self.stream_id, epoch_id):
-            # crash-resume retry of a committed epoch: exactly-once skip
+            # crash-resume retry of a committed epoch: exactly-once skip.
+            # The quarantine write is gated on the merge job's observed
+            # invalid count and so happens AFTER the data commit; a crash
+            # in that window reaches here with the epoch's dead letters
+            # unwritten — detect (no marker dir) and heal, idempotently.
+            dead_counts = {}
+            if not os.path.exists(dead_path):
+                _, dead = split_dead_letters(batch_df)
+                dead.write.mode("overwrite").parquet(dead_path)
+                dead_counts = _dead_letter_counts(dead_path)
             stats = MergeStats(
                 epoch_id=epoch_id, events_in=0, keys=0, upserts=0, deletes=0,
                 touched_buckets=0, wall_ms=0.0, per_bucket=[], skipped=True,
                 snapshot_version=table.current_version(),
             )
-            lineage.record(stats, skipped=True)
+            lineage.record(stats, dead_letters=dead_counts, skipped=True)
             self.applied.append(stats)
             return stats
 
@@ -139,15 +149,25 @@ class ReplayJob:
         if cache_level is not None:
             batch_df.persist(cache_level)
         try:
-            valid, dead = split_dead_letters(batch_df)
-            # quarantine dead letters (idempotent overwrite per epoch);
-            # per-reason counts come from the written files' metadata —
-            # no dedicated counting job over the (content-heavy) batch
-            dead_path = os.path.join(self.dead_letter_dir, f"epoch={epoch_id}")
-            dead.write.mode("overwrite").parquet(dead_path)
-            dead_counts = _dead_letter_counts(dead_path)
-            phases["dead_letters_s"] = round(_time.time() - t, 2)
-            t = _time.time()
+            # Envelope validation rides the MERGE job itself: an
+            # Observation counts invalid events during the merge's own
+            # batch scan, and the quarantine write job — a SECOND full
+            # pass over the (content-heavy) batch — runs only when that
+            # count is non-zero. Dead letters are the rare path; the
+            # common all-valid epoch pays exactly ONE pass over the
+            # batch, which both halves per-epoch memory-bus traffic
+            # (the content-heavy scaling ceiling, BENCH/BASELINE.md)
+            # and sheds a job from the per-trigger serial floor.
+            from pyspark.sql import Observation
+
+            from etl_kafka_project_spark.cdc.envelope import dead_letter_reason
+
+            dead_obs = Observation()
+            batch = batch_df.observe(
+                dead_obs,
+                F.sum(dead_letter_reason().isNotNull().cast("long")).alias("n_dead"),
+            )
+            valid, _ = split_dead_letters(batch)
 
             # additive/widening schema evolution BEFORE the merge; its
             # commit is idempotent (re-diff after crash is empty), so it
@@ -166,12 +186,31 @@ class ReplayJob:
             )
             phases["merge_s"] = round(_time.time() - t, 2)
             t = _time.time()
+
+            # quarantine dead letters (idempotent overwrite per epoch);
+            # per-reason counts come from the written files' metadata —
+            # no dedicated counting job. The merge job above always runs
+            # (even for an empty batch), so the observation never blocks.
+            if int(dead_obs.get["n_dead"] or 0) > 0:
+                _, dead = split_dead_letters(batch_df)
+                dead.write.mode("overwrite").parquet(dead_path)
+                dead_counts = _dead_letter_counts(dead_path)
+            else:
+                # zero-dead marker: lets the crash-resume skip path tell
+                # "nothing to quarantine" from "crashed before writing"
+                os.makedirs(dead_path, exist_ok=True)
+                dead_counts = {}
+            phases["dead_letters_s"] = round(_time.time() - t, 2)
+            t = _time.time()
         finally:
             if cache_level is not None:
                 batch_df.unpersist()
-        # applied-event count falls out of the merge's own bucket stats
-        # (distinct lsns folded per bucket) — no extra count() pass
-        stats.events_in = sum(r["events"] for r in stats.per_bucket)
+        # applied-event count falls out of the merge's own stats (distinct
+        # lsns folded, observed on the merge job) — no extra count() pass.
+        # The COW path still carries them per bucket; the MOR fast path
+        # sets events_in directly.
+        if stats.per_bucket and "events" in stats.per_bucket[0]:
+            stats.events_in = sum(r["events"] for r in stats.per_bucket)
 
         # MOR housekeeping: fold deltas into base every N applied epochs
         # (idempotent; a crash before/after just defers it). Also bounds
@@ -199,7 +238,8 @@ class ReplayJob:
         # fold is skew-tolerant via map-side partials) — salting only
         # buys the pathological single-dominant-key + wide-payload case.
         hot = max(
-            (r.get("max_key_events") or 0 for r in stats.per_bucket), default=0
+            stats.max_key_events,
+            max((r.get("max_key_events") or 0 for r in stats.per_bucket), default=0),
         )
         if self.salt is None and hot >= self.config.hot_key_threshold:
             self.salt = self.config.salt_buckets

@@ -29,7 +29,7 @@ def cg_ns() -> int:
     return 0
 
 
-def run_master(master: str, trials: int) -> dict:
+def run_master(master: str, trials: int, rows: int = 50_000_000) -> dict:
     os.environ.setdefault("SPARK_HOME", os.path.dirname(__import__("pyspark").__file__))
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
@@ -46,7 +46,12 @@ def run_master(master: str, trials: int) -> dict:
     )
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    df = spark.range(50_000_000, numPartitions=64).select(
+    # --rows sizes the control so its wall MATCHES the engine replay's
+    # at the paired level (round-2 caveat: a 3-10x shorter control
+    # skims brief quiet windows a multi-minute replay cannot fit into,
+    # biasing the control efficiency high). numPartitions scales with
+    # rows so partition size stays constant.
+    df = spark.range(rows, numPartitions=max(64, rows // 781_250)).select(
         (F.col("id") % 1_000_000).alias("k"),
         F.sha2(F.col("id").cast("string"), 256).alias("v"),
     )
@@ -58,7 +63,16 @@ def run_master(master: str, trials: int) -> dict:
         ).mode("overwrite").save()
         return time.time() - t0
 
-    once()  # JIT warmup excluded
+    # JIT warmup excluded from timing — and run SMALL (the codegen/JIT
+    # paths warm identically), so duration-matched big controls don't
+    # pay a full-size untimed pass
+    warm = spark.range(min(rows, 5_000_000), numPartitions=64).select(
+        (F.col("id") % 1_000_000).alias("k"),
+        F.sha2(F.col("id").cast("string"), 256).alias("v"),
+    )
+    warm.groupBy("k").agg(F.max_by("v", "k"), F.count(F.lit(1))).write.format(
+        "noop"
+    ).mode("overwrite").save()
     runs = []
     for _ in range(trials):
         u0, t0 = cg_ns(), time.time()
@@ -78,8 +92,11 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--masters", nargs="+", default=["local[4]", "local[16]"])
     ap.add_argument("--trials", type=int, default=2)
+    ap.add_argument("--rows", type=int, default=50_000_000,
+                    help="control input rows; size so the control wall matches"
+                         " the engine replay wall (duration-matched control)")
     args = ap.parse_args()
-    out = [run_master(m, args.trials) for m in args.masters]
+    out = [run_master(m, args.trials, args.rows) for m in args.masters]
     res = {"control": out}
     if len(out) == 2:
         import re

@@ -167,6 +167,15 @@ def main() -> None:
         " under the SAME noise regime so the relative efficiency is robust"
         " to the shared host's hour-scale load swings",
     )
+    ap.add_argument(
+        "--control-rows",
+        type=int,
+        default=50_000_000,
+        help="control input rows — size so the control wall MATCHES the"
+        " engine replay wall at the paired level (duration-matched"
+        " control; a shorter control skims quiet windows and biases"
+        " control efficiency high)",
+    )
     args = ap.parse_args()
 
     levels = build_levels(args)
@@ -194,6 +203,8 @@ def main() -> None:
                         lv["name"],
                         "--trials",
                         "1",
+                        "--rows",
+                        str(args.control_rows),
                     ],
                     env=dict(os.environ, PYTHONPATH=REPO),
                     capture_output=True,
