@@ -96,12 +96,28 @@ def cached_stream(spec_kw: dict) -> str:
     return out
 
 
-def run_cdc_replay(spark, stream_dir: str, cpus: int, watermark: str | None = None) -> dict:
+def warmup_cdc(spark) -> None:
+    """Small UNTIMED replay before the measured one: first-epoch walls
+    are dominated by constant-cost JVM JIT/codegen warm-up (measured
+    ~10 s regardless of cores), which biases the N vs 4N full-replay
+    ratio — the 4N level's shorter walls absorb proportionally more of
+    it. The criterion is SUSTAINED merge throughput; warming the same
+    code paths on a tiny stream first makes every timed epoch a
+    sustained one. Enabled via SPARK_GRAFT_BENCH_WARMUP=1 (the scaling
+    ladder sets it; the per-round driver run keeps cold timings)."""
+    spec = dict(CDC_SPEC, n_events=60_000, n_keys=6_000, n_segments=8)
+    stream_dir = cached_stream(spec)
+    run_cdc_replay(spark, stream_dir, cpus=0, _tag="warmup")
+
+
+def run_cdc_replay(
+    spark, stream_dir: str, cpus: int, watermark: str | None = None, _tag: str = ""
+) -> dict:
     from etl_kafka_project_spark.cdc.merge import create_code_table
     from etl_kafka_project_spark.cdc.stream import ReplayJob
     from etl_kafka_project_spark.config import EngineConfig
 
-    work = f"{BENCH_ROOT}/replay-{cpus}-{time.time_ns()}"
+    work = f"{BENCH_ROOT}/replay{_tag}-{cpus}-{time.time_ns()}"
     # FIXED bucket count across parallelism levels — the scaling
     # comparison must run the SAME job, only the cores differ
     cfg = EngineConfig(n_buckets=64, target_file_rows=200_000)
@@ -119,6 +135,12 @@ def run_cdc_replay(spark, stream_dir: str, cpus: int, watermark: str | None = No
     stats = job.run(spark)
     wall = time.time() - t0
     n_events = sum(s.events_in for s in stats)
+    if os.environ.get("SPARK_GRAFT_BENCH_PHASES") == "1":
+        from etl_kafka_project_spark.cdc.metrics import LineageLog
+
+        for d in LineageLog(job.lineage_dir).read_all():
+            log(f"    epoch {d['epoch']}: wall={d['wall_ms'] / 1000:.2f}s"
+                f" phases={d.get('phases')}")
     shutil.rmtree(work, ignore_errors=True)
     return {
         "events": n_events,
@@ -227,11 +249,17 @@ def main() -> None:
         timings[name] = min(walls)
         log(f"{name}: {timings[name]}s (trials: {walls})")
 
+    if os.environ.get("SPARK_GRAFT_BENCH_WARMUP") == "1":
+        t0 = time.time()
+        warmup_cdc(spark)
+        log(f"cdc warmup replay: {time.time() - t0:.1f}s (untimed)")
+
     cdc_runs = []
     for _ in range(n_cdc_trials):
         t0 = time.time()
         stats = run_cdc_replay(spark, stream_dir, cpus)
         cdc_runs.append((round(time.time() - t0, 3), stats))
+        log(f"  cdc trial: {cdc_runs[-1][0]}s epochs={stats['epoch_walls']}")
     trials["cdc_replay"] = [w for w, _ in cdc_runs]
     best_wall, cdc = min(cdc_runs, key=lambda x: x[1]["wall_sec"])
     timings["cdc_replay"] = best_wall

@@ -279,14 +279,47 @@ def compact_deltas(
     }
     if not touched:
         return {**stats, "compacted": False, "skipped_buckets": len(drow)}
-    resolved = table.read(buckets=touched, include_tombstones=True).withColumn(
-        "_bucket", table.bucket_expr(snap)
-    )
+    # Pin the read to the snapshot the stats came from: the resolve's
+    # input set must be EXACTLY the files the commit below removes, or a
+    # commit racing in between makes them diverge.
+    resolved = table.read(
+        version=snap.version, buckets=touched, include_tombstones=True
+    ).withColumn("_bucket", table.bucket_expr(snap))
     resolved = resolved.repartition(max(1, len(touched) // 2), F.col("_bucket"))
     new_files = table.write_data_files(resolved, bucket_col="_bucket", kind="base")
-    committed = table.commit(
-        expected_version=snap.version, new_files=new_files, replaced_buckets=touched
-    )
+    # Commit by EXACT removed-file set, not replaced_buckets: removal of
+    # the resolved inputs commutes with a concurrent epoch appending new
+    # delta files to the same buckets (the retry keeps them — they are
+    # strictly newer by _writer_version, so resolving them against the
+    # compacted base is order-faithful), whereas bucket replacement
+    # would silently drop files the compactor never read. Retries are
+    # therefore safe UNLESS some input file is already gone — then a
+    # concurrent compactor folded the same inputs, and committing our
+    # rewrite would duplicate every row of it: abort and discard.
+    import os as _os
+
+    from etl_kafka_project_spark.minilake.table import SnapshotConflictError
+
+    removed = {f.path for f in snap.files if f.bucket in touched}
+    expected = snap.version
+    for _ in range(50):
+        try:
+            committed = table.commit(
+                expected_version=expected, new_files=new_files, removed_files=removed
+            )
+            break
+        except SnapshotConflictError:
+            cur = table.snapshot()
+            if not removed <= {f.path for f in cur.files}:
+                for fe in new_files:  # orphaned rewrite — clean up
+                    try:
+                        _os.remove(_os.path.join(table.root, fe.path))
+                    except OSError:
+                        pass
+                return {**stats, "compacted": False, "lost_race": True}
+            expected = cur.version
+    else:
+        raise SnapshotConflictError("compaction could not commit after 50 retries")
     return {
         **stats,
         "compacted": True,
