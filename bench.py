@@ -216,6 +216,16 @@ def main() -> None:
         extra_conf["spark.driver.memory"] = os.environ.get(
             "SPARK_GRAFT_DRIVER_MEM", "24g"
         )
+        # Same fairness fix local-cluster mode already has: without it
+        # the JVM sizes GC/JIT/netty thread pools for ALL host cores, so
+        # a local[4] "cluster" free-rides GC + JIT compilation on the 28
+        # cores outside its nominal allocation — flattering the N level
+        # and understating N -> 4N scaling. A real 4-core container gets
+        # this from cpuset limits.
+        extra_conf["spark.driver.extraJavaOptions"] = (
+            extra_conf["spark.driver.extraJavaOptions"]
+            + f" -XX:ActiveProcessorCount={cpus}"
+        )
 
     spark = build_session(
         master,

@@ -70,6 +70,16 @@ PROFILES = {
     },
 }
 
+#: ladder-wide bench knobs: a small UNTIMED warmup replay first (the
+#: criterion is SUSTAINED throughput; cold first-epoch JIT/codegen cost
+#: is constant per JVM and biases the N vs 4N ratio), and ONE in-bench
+#: CDC trial — this harness already interleaves load-gated trials and
+#: scores the minimum, so in-bench repetition just doubles wall time.
+LADDER_ENV = {
+    "SPARK_GRAFT_BENCH_WARMUP": "1",
+    "SPARK_GRAFT_BENCH_CDC_TRIALS": "1",
+}
+
 
 def loadavg() -> float:
     return float(open("/proc/loadavg").read().split()[0])
@@ -91,6 +101,7 @@ def run_trial(level: dict, profile: str) -> dict:
         os.environ,
         SPARK_GRAFT_BENCH_ONLY_CDC="1",
         PYTHONPATH=REPO,
+        **LADDER_ENV,
         **PROFILES[profile],
         **level["env"],
     )
