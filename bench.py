@@ -105,7 +105,7 @@ def warmup_cdc(spark) -> None:
     code paths on a tiny stream first makes every timed epoch a
     sustained one. Enabled via SPARK_GRAFT_BENCH_WARMUP=1 (the scaling
     ladder sets it; the per-round driver run keeps cold timings)."""
-    spec = dict(CDC_SPEC, n_events=60_000, n_keys=6_000, n_segments=8)
+    spec = dict(CDC_SPEC, n_events=240_000, n_keys=24_000, n_segments=16)
     stream_dir = cached_stream(spec)
     run_cdc_replay(spark, stream_dir, cpus=0, _tag="warmup")
 
@@ -213,8 +213,17 @@ def main() -> None:
         # machine (128 GiB box), not Spark's 1g default
         # measured: a 48g G1 heap is 5-6x SLOWER and wildly unstable here
         # (region recommit/zeroing shows up as kernel time)
-        extra_conf["spark.driver.memory"] = os.environ.get(
-            "SPARK_GRAFT_DRIVER_MEM", "24g"
+        driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g")
+        extra_conf["spark.driver.memory"] = driver_mem
+        # spark-submit passes only -Xmx, so the heap starts tiny and the
+        # FIRST big epoch pays the growth to steady state (mmap + kernel
+        # page zeroing + GC-heuristic churn — measured as a ~2x slower
+        # epoch 0 that no amount of JIT warmup removed). Commit and
+        # pre-fault the whole heap at JVM start instead, outside any
+        # measured window.
+        extra_conf["spark.driver.extraJavaOptions"] = (
+            extra_conf["spark.driver.extraJavaOptions"]
+            + f" -Xms{driver_mem} -XX:+AlwaysPreTouch"
         )
         # Same fairness fix local-cluster mode already has: without it
         # the JVM sizes GC/JIT/netty thread pools for ALL host cores, so

@@ -183,6 +183,12 @@ def _merge_mor(
 
     from etl_kafka_project_spark.cdc.mor import write_delta_files
 
+    # env-gated sub-phase wall clocks (SPARK_GRAFT_MERGE_PHASES=1): the
+    # per-epoch serial floor is what caps sustained scaling efficiency,
+    # so it has to be measurable, not guessed at
+    timing = os.environ.get("SPARK_GRAFT_MERGE_PHASES") == "1"
+    marks: list[tuple[str, float]] = [("start", time.time())]
+
     obs = Observation()
     observed = folded.observe(
         obs,
@@ -201,7 +207,9 @@ def _merge_mor(
     try:
         if cached:
             _write_changelog(observed, key_cols, payload_cols, changelog_dir, epoch)
+        marks.append(("plan_build", time.time()))
         new_files = write_delta_files(table, observed, snap)
+        marks.append(("write_job", time.time()))
     finally:
         if cached:
             observed.unpersist()
@@ -221,6 +229,15 @@ def _merge_mor(
     committed = table.commit(
         expected_version=snap.version, new_files=new_files, epoch=epoch
     )
+    if timing:
+        import sys
+
+        marks.append(("commit", time.time()))
+        spans = ", ".join(
+            f"{name}={t1 - t0:.3f}s"
+            for (_, t0), (name, t1) in zip(marks, marks[1:])
+        )
+        print(f"[merge-phases] epoch={epoch}: {spans}", file=sys.stderr, flush=True)
     return MergeStats(
         epoch_id=epoch[1] if epoch else None,
         events_in=int(m["events"] or 0),

@@ -35,6 +35,13 @@ def run_master(master: str, trials: int, rows: int = 50_000_000) -> dict:
     from pyspark.sql import functions as F
 
     local_dir = f"/dev/shm/ctrl-{os.getpid()}"
+    # the control must play by the SAME JVM rules as the engine bench:
+    # cap the JVM's perceived CPU count at the level's core slice, or a
+    # local[4] control free-rides GC/JIT threads on the other 28 host
+    # cores exactly the way the engine bench no longer does
+    import re as _re
+
+    n_cores = int(_re.search(r"\d+", master).group())
     b = (
         SparkSession.builder.master(master)
         .appName("scaling-control")
@@ -42,7 +49,10 @@ def run_master(master: str, trials: int, rows: int = 50_000_000) -> dict:
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "8g")
         .config("spark.local.dir", local_dir)
-        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
+        .config(
+            "spark.driver.extraJavaOptions",
+            f"-XX:+UseParallelGC -XX:ActiveProcessorCount={n_cores}",
+        )
     )
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

@@ -68,6 +68,18 @@ PROFILES = {
         "SPARK_GRAFT_BENCH_N_SEGMENTS": "256",
         "SPARK_GRAFT_BENCH_FILES_PER_TRIGGER": "128",
     },
+    # half-size compute-weighted stream for low-core pairs (2 -> 8):
+    # both levels sit far below the measured ~13.5-core memory and
+    # ~22-core compute ceilings, so the pair isolates engine scaling;
+    # halving events keeps a local[2] full replay to ~2 min/trial
+    "compute-weighted-small": {
+        "SPARK_GRAFT_BENCH_N_EVENTS": "6400000",
+        "SPARK_GRAFT_BENCH_N_KEYS": "600000",
+        "SPARK_GRAFT_BENCH_MIN_LINES": "2",
+        "SPARK_GRAFT_BENCH_MAX_LINES": "4",
+        "SPARK_GRAFT_BENCH_N_SEGMENTS": "128",
+        "SPARK_GRAFT_BENCH_FILES_PER_TRIGGER": "64",
+    },
 }
 
 #: ladder-wide bench knobs: a small UNTIMED warmup replay first (the
@@ -105,6 +117,7 @@ def run_trial(level: dict, profile: str) -> dict:
         **PROFILES[profile],
         **level["env"],
     )
+    load_at_start = loadavg()
     t0 = time.time()
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
@@ -121,7 +134,7 @@ def run_trial(level: dict, profile: str) -> dict:
         raise RuntimeError(
             f"bench.py produced no JSON for {level['name']}:\n{out.stderr[-3000:]}"
         )
-    d["cdc"]["host_load_at_start"] = loadavg()
+    d["cdc"]["host_load_at_start"] = load_at_start
     d["cdc"]["trial_wall"] = round(time.time() - t0, 1)
     return d["cdc"]
 
