@@ -113,8 +113,11 @@ def expire_snapshots(table: LakeTable, keep_last: int = 2) -> dict:
     current = table.current_version()
     keep_versions = [v for v in range(max(0, current - keep_last + 1), current + 1)]
     retained_files: set[str] = set()
+    retained_manifests: set[str] = set()
     for v in keep_versions:
-        retained_files |= {fe.path for fe in table.snapshot(v).files}
+        snap = table.snapshot(v)
+        retained_files |= {fe.path for fe in snap.files}
+        retained_manifests |= {m["path"] for m in snap.manifests.values()}
 
     removed_snaps = 0
     snap_dir = os.path.join(table.root, "snapshots")
@@ -135,5 +138,17 @@ def expire_snapshots(table: LakeTable, keep_last: int = 2) -> dict:
             if rel not in retained_files:
                 os.remove(os.path.join(bdir, fn))
                 removed_data += 1
+
+    # manifest files referenced by no retained snapshot (expired
+    # versions, or orphans from a crashed/lost-race commit)
+    removed_manifests = 0
+    manifest_dir = os.path.join(table.root, "manifests")
+    if os.path.isdir(manifest_dir):
+        for fn in os.listdir(manifest_dir):
+            rel = f"manifests/{fn}"
+            if rel not in retained_manifests:
+                os.remove(os.path.join(manifest_dir, fn))
+                removed_manifests += 1
     return {"snapshots_removed": removed_snaps, "data_files_removed": removed_data,
+            "manifests_removed": removed_manifests,
             "retained_versions": keep_versions}

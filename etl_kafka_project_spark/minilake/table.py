@@ -3,9 +3,15 @@
 An Iceberg-shaped table format built from scratch (no Iceberg/Delta jars in
 the sandbox — verified). What it reproduces from the Iceberg model:
 
-* **snapshots**: every commit writes ``snapshots/v{N}.json`` listing the
-  table's data files, schema, and committed stream epochs; the current
-  version is an atomically-renamed ``VERSION`` pointer (POSIX ``rename``),
+* **snapshots + manifest lists**: every commit writes
+  ``snapshots/v{N}.json`` carrying the schema, committed stream epochs,
+  and one immutable per-bucket *manifest file* reference
+  (``manifests/b{bucket}-{uuid}.json``) listing that bucket's data
+  files; buckets a commit does not touch reuse the parent's manifest,
+  so commit serialization is O(touched buckets) — the Iceberg
+  manifest-list shape, and what keeps the driver-side commit off the
+  critical path at millions of files. The current version is an
+  atomically-renamed ``VERSION`` pointer (POSIX ``rename``),
 * **copy-on-write**: a commit replaces a subset of files (the touched
   hash-buckets) and carries the rest forward untouched,
 * **hash-bucket partitioning**: data files live under
@@ -92,11 +98,25 @@ class Snapshot:
     committed_epochs: dict[str, list[int]]
     props: dict = field(default_factory=dict)
     ts: float = 0.0
+    #: bucket → {"path": manifest file (relative), "rows", "n_files"}.
+    #: The stored form of ``files`` (Iceberg manifest-list shape): the
+    #: snapshot JSON references one immutable manifest file per bucket,
+    #: and a commit REUSES the parent's manifest for every bucket it did
+    #: not touch — commit serialization cost is O(touched buckets), not
+    #: O(table). At 100 TB (millions of data files) inlining every file
+    #: into every snapshot would make the driver-side commit itself the
+    #: bottleneck; with manifests a steady-state CDC epoch writes one
+    #: snapshot JSON of n_buckets lines plus manifests for the buckets
+    #: its batch touched. Empty for legacy inline-files snapshots.
+    manifests: dict[int, dict] = field(default_factory=dict)
 
     def has_epoch(self, stream_id: str, epoch_id: int) -> bool:
         return epoch_id in self.committed_epochs.get(stream_id, ())
 
     def to_json(self) -> dict:
+        """Legacy inline-files serialization (kept for tests/tools that
+        round-trip snapshots without a table root; ``LakeTable`` commits
+        write the manifest form instead)."""
         return {
             "version": self.version,
             "parent": self.parent,
@@ -107,16 +127,33 @@ class Snapshot:
             "props": self.props,
         }
 
+    def to_json_manifests(self) -> dict:
+        """Manifest-list serialization: files live in per-bucket manifest
+        files (``self.manifests``), the snapshot carries only their paths
+        + summary stats."""
+        return {
+            "version": self.version,
+            "parent": self.parent,
+            "ts": self.ts,
+            "schema": json.loads(self.schema.json()),
+            "manifests": {str(b): m for b, m in sorted(self.manifests.items())},
+            "committed_epochs": self.committed_epochs,
+            "props": self.props,
+        }
+
     @staticmethod
-    def from_json(d: dict) -> "Snapshot":
+    def from_json(d: dict, files: tuple[FileEntry, ...] | None = None) -> "Snapshot":
+        if files is None:
+            files = tuple(FileEntry.from_json(f) for f in d.get("files", ()))
         return Snapshot(
             version=d["version"],
             parent=d["parent"],
             schema=T.StructType.fromJson(d["schema"]),
-            files=tuple(FileEntry.from_json(f) for f in d["files"]),
+            files=files,
             committed_epochs={k: list(v) for k, v in d["committed_epochs"].items()},
             props=d.get("props", {}),
             ts=d.get("ts", 0.0),
+            manifests={int(b): m for b, m in d.get("manifests", {}).items()},
         )
 
 
@@ -178,12 +215,48 @@ def _atomic_create_json(path: str, payload: dict) -> None:
         os.unlink(tmp)
 
 
+#: process-wide manifest cache — manifest files are immutable (uuid
+#: named, never rewritten), so caching by absolute path is always safe;
+#: LakeTable handles are created per-epoch, so the cache must outlive
+#: them for a streaming replay to pay each manifest read once
+_MANIFEST_CACHE: dict[str, tuple[FileEntry, ...]] = {}
+_MANIFEST_CACHE_MAX = 8192
+
+
 class LakeTable:
     """Handle to a minilake table rooted at a local/posix directory."""
 
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root.rstrip("/")
+
+    # ---------- manifests ----------
+
+    def _load_manifest(self, relpath: str) -> tuple[FileEntry, ...]:
+        abspath = os.path.join(self.root, relpath)
+        hit = _MANIFEST_CACHE.get(abspath)
+        if hit is None:
+            with open(abspath) as f:
+                d = json.load(f)
+            hit = tuple(FileEntry.from_json(x) for x in d["files"])
+            if len(_MANIFEST_CACHE) >= _MANIFEST_CACHE_MAX:
+                _MANIFEST_CACHE.clear()
+            _MANIFEST_CACHE[abspath] = hit
+        return hit
+
+    def _write_manifest(self, bucket: int, files: list[FileEntry]) -> dict:
+        os.makedirs(os.path.join(self.root, "manifests"), exist_ok=True)
+        rel = f"manifests/b{bucket:05d}-{uuid.uuid4().hex}.json"
+        _atomic_write_json(
+            os.path.join(self.root, rel),
+            {"bucket": bucket, "files": [f.to_json() for f in files]},
+        )
+        _MANIFEST_CACHE[os.path.join(self.root, rel)] = tuple(files)
+        return {
+            "path": rel,
+            "rows": sum(f.rows for f in files),
+            "n_files": len(files),
+        }
 
     # ---------- creation / loading ----------
 
@@ -215,7 +288,7 @@ class LakeTable:
             props={"key_columns": list(key_columns), "n_buckets": n_buckets, **(props or {})},
             ts=time.time(),
         )
-        _atomic_write_json(table._snapshot_path(0), snap.to_json())
+        _atomic_write_json(table._snapshot_path(0), snap.to_json_manifests())
         _atomic_write_json(table._version_path(), {"version": 0})
         return table
 
@@ -244,11 +317,27 @@ class LakeTable:
             v += 1
         return v
 
-    def snapshot(self, version: int | None = None) -> Snapshot:
+    def snapshot(
+        self, version: int | None = None, buckets: set[int] | None = None
+    ) -> Snapshot:
+        """Load a snapshot, materializing its file entries from the
+        per-bucket manifests. ``buckets`` restricts the manifest load to
+        that subset — the metadata side of partition pruning (a pruned
+        read opens O(touched) manifest files, not O(n_buckets)). A
+        bucket-restricted snapshot is a partial FILE view for reads
+        only; ``commit`` always loads the full snapshot."""
         if version is None:
             version = self.current_version()
         with open(self._snapshot_path(version)) as f:
-            return Snapshot.from_json(json.load(f))
+            d = json.load(f)
+        if "manifests" in d:
+            files: list[FileEntry] = []
+            for b in sorted(int(k) for k in d["manifests"]):
+                if buckets is not None and b not in buckets:
+                    continue
+                files.extend(self._load_manifest(d["manifests"][str(b)]["path"]))
+            return Snapshot.from_json(d, files=tuple(files))
+        return Snapshot.from_json(d)
 
     # ---------- key bucketing ----------
 
@@ -282,7 +371,7 @@ class LakeTable:
         the snapshot's (possibly evolved) schema — added columns
         null-fill, widened types promote, courtesy of the parquet reader.
         """
-        snap = self.snapshot(version)
+        snap = self.snapshot(version, buckets=buckets)
         files = [f for f in snap.files if buckets is None or f.bucket in buckets]
         if key_equals:
             files = [
@@ -436,6 +525,31 @@ class LakeTable:
                 )
             epochs.setdefault(stream_id, []).append(epoch_id)
         new_version = current + 1
+
+        # Incremental manifest maintenance: only buckets whose file set
+        # changed get a new manifest file; every other bucket reuses the
+        # parent's (immutable) manifest by reference. A schema-evolution
+        # or epoch-only commit rewrites NO manifest at all. Legacy
+        # inline-files parents (manifests == {}) upgrade wholesale on
+        # their first commit. Manifests are written BEFORE the snapshot
+        # CAS — a lost race or crash leaves unreferenced uuid files,
+        # which is harmless garbage (expire_snapshots vacuums them).
+        changed: set[int] = set(replaced_buckets or ())
+        if removed_files:
+            changed |= {f.bucket for f in parent.files if f.path in removed_files}
+        changed |= {f.bucket for f in new_files}
+        by_bucket: dict[int, list[FileEntry]] = {}
+        for f in kept:
+            by_bucket.setdefault(f.bucket, []).append(f)
+        for f in new_files:
+            by_bucket.setdefault(f.bucket, []).append(f)
+        manifests: dict[int, dict] = {}
+        for b, fl in by_bucket.items():
+            if b not in changed and b in parent.manifests:
+                manifests[b] = parent.manifests[b]
+            else:
+                manifests[b] = self._write_manifest(b, fl)
+
         snap = Snapshot(
             version=new_version,
             parent=current,
@@ -444,6 +558,7 @@ class LakeTable:
             committed_epochs=epochs,
             props={**parent.props, **(props_update or {})},
             ts=time.time(),
+            manifests=manifests,
         )
         path = self._snapshot_path(new_version)
         try:
@@ -451,7 +566,7 @@ class LakeTable:
             # set of racing committers can link this name (POSIX CAS) —
             # check-then-write would let the loser silently clobber the
             # winner's snapshot (lost update)
-            _atomic_create_json(path, snap.to_json())
+            _atomic_create_json(path, snap.to_json_manifests())
         except FileExistsError:
             raise SnapshotConflictError(
                 f"snapshot v{new_version} already exists"

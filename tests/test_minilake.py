@@ -132,3 +132,72 @@ def test_manifest_stats_pruning(spark, tmp_table_dir):
         if f.might_contain("repo", "zzzz-no-such-repo")
     ]
     assert len(kept) == 0  # manifest stats alone proved absence
+
+
+def test_manifest_reuse_across_commits(spark, tmp_table_dir):
+    """A commit writes manifests ONLY for the buckets it touches; every
+    other bucket reuses the parent snapshot's manifest file by path, so
+    commit serialization cost is O(touched), not O(table)."""
+    import json
+    import os
+
+    t = _mk(spark, tmp_table_dir)
+    rows = [(f"r{i}", f"p{i}", i) for i in range(40)]
+    df = spark.createDataFrame(rows, SCHEMA)
+    t.commit(0, new_files=t.write_data_files(df.withColumn("_bucket", t.bucket_expr())))
+    v1 = t.snapshot()
+    assert set(v1.manifests) == {f.bucket for f in v1.files}
+
+    # second commit appends a file to ONE bucket
+    df2 = spark.createDataFrame([("r3", "p3", 99)], SCHEMA)
+    files2 = t.write_data_files(df2.withColumn("_bucket", t.bucket_expr()))
+    touched = {f.bucket for f in files2}
+    assert len(touched) == 1
+    t.commit(1, new_files=files2)
+    v2 = t.snapshot()
+    for b, m in v1.manifests.items():
+        if b in touched:
+            assert v2.manifests[b]["path"] != m["path"]
+        else:
+            assert v2.manifests[b]["path"] == m["path"]  # reused by reference
+
+    # the stored snapshot JSON carries manifest refs, not inline files
+    with open(os.path.join(tmp_table_dir, "snapshots", "v2.json")) as f:
+        d = json.load(f)
+    assert "manifests" in d and "files" not in d
+
+    # an epoch-only commit (no file changes) rewrites NO manifest
+    t.commit(2, epoch=("s", 0))
+    v3 = t.snapshot()
+    assert {m["path"] for m in v3.manifests.values()} == {
+        m["path"] for m in v2.manifests.values()
+    }
+
+    # data unaffected by the representation (append: both r3 rows exist)
+    got = {(r.repo, r.path, r.n) for r in t.read().collect()}
+    assert ("r3", "p3", 99) in got and ("r3", "p3", 3) in got
+    assert len(got) == 41
+
+
+def test_manifest_vacuum(spark, tmp_table_dir):
+    """expire_snapshots removes manifest files referenced by no retained
+    snapshot (and keeps the live ones)."""
+    import os
+
+    from etl_kafka_project_spark.cdc.compaction import expire_snapshots
+
+    t = _mk(spark, tmp_table_dir)
+    # rewrite the SAME bucket 3 times — each commit supersedes that
+    # bucket's manifest, orphaning the previous version
+    for i in range(3):
+        df = spark.createDataFrame([("r1", "p1", i)], SCHEMA)
+        files = t.write_data_files(df.withColumn("_bucket", t.bucket_expr()))
+        t.commit(i, new_files=files, replaced_buckets={f.bucket for f in files})
+    stats = expire_snapshots(t, keep_last=1)
+    assert stats["manifests_removed"] > 0
+    live = {m["path"] for m in t.snapshot().manifests.values()}
+    on_disk = {
+        f"manifests/{fn}" for fn in os.listdir(os.path.join(tmp_table_dir, "manifests"))
+    }
+    assert on_disk == live
+    assert {(r.repo, r.path, r.n) for r in t.read().collect()} == {("r1", "p1", 2)}
