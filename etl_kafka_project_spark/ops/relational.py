@@ -348,6 +348,217 @@ WHERE lang = 'en'
 """
 
 
+# ---------- wide multi-join analytics (TPC-H Q7/Q9/Q10 shapes) ----------
+
+def q7_nation_trade_volume(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume between supplier nation
+    and customer nation by ship year. Join strategy is scale-honest:
+    only ``nation`` (25 rows, constant at every SF) is explicitly
+    broadcast. orders/customer/supplier all GROW with SF — at 100 TB
+    none of them fits a broadcast — so those joins are left to
+    Catalyst/AQE: shuffle hash joins on their keys (lineitem⋈orders
+    co-partitions on orderkey, the dominant co-location), with AQE
+    free to downgrade to broadcast at small SF where the side is
+    actually tiny. Columns are pruned before every join so the
+    shuffles move only the 4 needed lineitem columns."""
+    li = load(spark, sf, "lineitem")
+    o = load(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    c = load(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    s = load(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    n = load(spark, sf, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(
+            F.broadcast(n.select(F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation"))),
+            F.col("c_nationkey") == F.col("cn_key"),
+        )
+        .join(
+            F.broadcast(n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))),
+            F.col("s_nationkey") == F.col("sn_key"),
+        )
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(
+            # exact decimal accumulation: double sums are order-dependent
+            # (parallel aggregation!) and the true per-group totals have
+            # <= 4 decimals, so some land exactly on a .xx5 rounding
+            # boundary where the last ulp flips the cent; quantizing each
+            # row to decimal BEFORE the sum makes the aggregate exact and
+            # engine/partitioning-independent
+            F.round(
+                F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,6)")),
+                2,
+            )
+            .cast("double")
+            .alias("volume"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+Q7_SQL = """
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       year(l_shipdate) AS l_year,
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))), 2)
+            AS DOUBLE) AS volume,
+       count(*) AS n_lines
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+WHERE sn.n_name <> cn.n_name
+GROUP BY sn.n_name, cn.n_name, year(l_shipdate)
+"""
+
+
+def q9_product_type_profit(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q9 shape: profit by supplier nation and order year for a
+    part-name slice. Profit uses p_retailprice as the cost basis (the
+    driver schema has no partsupp). Join strategy as in Q7: broadcast
+    only the constant-size ``nation``; part/orders/supplier grow with
+    SF and join via shuffle (AQE may localize them at small SF). The
+    selective p_name filter is applied BEFORE the join so the part
+    side the shuffle moves is already the slice, and it pushes to the
+    part scan as a parquet filter."""
+    li = load(spark, sf, "lineitem")
+    p = load(spark, sf, "part").filter(F.col("p_name").contains("ol")).select(
+        "p_partkey", "p_retailprice"
+    )
+    o = load(spark, sf, "orders").select("o_orderkey", "o_orderdate")
+    s = load(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    n = load(spark, sf, "nation").select("n_nationkey", "n_name")
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(
+            # decimal accumulation for an order-independent exact sum
+            # (see q7_nation_trade_volume)
+            F.round(
+                F.sum(
+                    (
+                        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                        - F.col("p_retailprice") * F.col("l_quantity") * F.lit(0.01)
+                    ).cast("decimal(28,6)")
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("profit")
+        )
+    )
+
+
+Q9_SQL = """
+SELECT n_name AS nation, year(o_orderdate) AS o_year,
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                           - p_retailprice * l_quantity * 0.01
+                           AS DECIMAL(28,6))), 2) AS DOUBLE) AS profit
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE contains(p_name, 'ol')
+GROUP BY n_name, year(o_orderdate)
+"""
+
+
+def q10_returned_item_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returned items per customer,
+    deterministic top-20 (revenue desc, then custkey). Catalyst plans
+    TakeOrderedAndProject — no global sort materialization. The
+    l_returnflag filter pushes to the lineitem scan (~25% selectivity
+    before any shuffle); orders/customer join via shuffle — both grow
+    with SF, neither is broadcast-safe at 100 TB."""
+    li = load(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = load(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    c = load(spark, sf, "customer").select("c_custkey", "c_name", "c_acctbal")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            # decimal accumulation: exact sums make both the values AND
+            # the revenue-desc ranking engine/partitioning-independent
+            F.round(
+                F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,6)")),
+                2,
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_returned_lines"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+Q10_SQL = """
+SELECT c_custkey, c_name,
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))), 2)
+            AS DOUBLE) AS revenue,
+       count(*) AS n_returned_lines
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+def brand_type_revenue_share(spark: SparkSession, sf: str) -> DataFrame:
+    """Window over an aggregate: each part type's share of its brand's
+    revenue — groupBy then a partition-window sum on the (tiny)
+    aggregated frame, so the window shuffles O(brand×type groups), not
+    O(rows). part grows with SF so the lineitem⋈part join is a shuffle
+    join (AQE localizes it at small SF); only the aggregate is
+    windowed."""
+    li = load(spark, sf, "lineitem")
+    p = load(spark, sf, "part").select("p_partkey", "p_brand", "p_type")
+    by_type = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type")
+        .agg(
+            # decimal accumulation (see q7): exact, order-independent
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,6)")
+            ).alias("_rev")
+        )
+    )
+    w = Window.partitionBy("p_brand")
+    return by_type.select(
+        "p_brand",
+        "p_type",
+        F.round("_rev", 2).cast("double").alias("revenue"),
+        F.round(
+            F.col("_rev").cast("double") / F.sum("_rev").over(w).cast("double") * 100, 3
+        ).alias("brand_share_pct"),
+    )
+
+
+BRAND_SHARE_SQL = """
+SELECT p_brand, p_type,
+       CAST(round(rev, 2) AS DOUBLE) AS revenue,
+       round(CAST(rev AS DOUBLE) / CAST(sum(rev) OVER (PARTITION BY p_brand) AS DOUBLE)
+             * 100, 3) AS brand_share_pct
+FROM (
+  SELECT p_brand, p_type,
+         sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS rev
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY p_brand, p_type
+)
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -363,6 +574,10 @@ QUERIES = {
     "suppliers_per_nation": suppliers_per_nation,
     "first_customer_per_segment": first_customer_per_segment,
     "conjunctive_search_documents": conjunctive_search_documents,
+    "q7_nation_trade_volume": q7_nation_trade_volume,
+    "q9_product_type_profit": q9_product_type_profit,
+    "q10_returned_item_revenue": q10_returned_item_revenue,
+    "brand_type_revenue_share": brand_type_revenue_share,
 }
 
 ORACLES = {
@@ -380,4 +595,8 @@ ORACLES = {
     "suppliers_per_nation": STRING_AGG_SQL,
     "first_customer_per_segment": FIRST_OF_GROUP_SQL,
     "conjunctive_search_documents": CONJ_SEARCH_SQL,
+    "q7_nation_trade_volume": Q7_SQL,
+    "q9_product_type_profit": Q9_SQL,
+    "q10_returned_item_revenue": Q10_SQL,
+    "brand_type_revenue_share": BRAND_SHARE_SQL,
 }

@@ -67,6 +67,35 @@ AUDITS: dict[str, list[tuple[str, str]]] = {
         ("centroid probe broadcast", "BroadcastHashJoin"),
         ("top-k no global sort", "TakeOrderedAndProject"),
     ],
+    "q7_nation_trade_volume": [
+        # only the constant-size nation dim is broadcast; the growing
+        # tables join via shuffle (AQE may localize at small SF)
+        ("nation broadcast", "BroadcastHashJoin"),
+        ("partial agg", "HashAggregate"),
+    ],
+    "q9_product_type_profit": [
+        ("part-name slice pushed to scan", "StringContains(p_name,ol)"),
+        ("partial agg", "HashAggregate"),
+    ],
+    "q10_returned_item_revenue": [
+        ("returnflag pushed to lineitem scan", "EqualTo(l_returnflag,R)"),
+        ("top-k no global sort", "TakeOrderedAndProject"),
+    ],
+    "brand_type_revenue_share": [
+        # the window runs on the aggregated frame (O(groups)), after agg
+        ("window over aggregate", "Window"),
+        ("partial agg", "HashAggregate"),
+    ],
+    "distinctive_terms": [
+        ("per-doc rank window", "row_number"),
+        ("partial agg", "HashAggregate"),
+    ],
+    "stratified_sample_per_group": [
+        ("per-stratum rank window", "row_number"),
+    ],
+    "dataset_split_assign": [
+        ("map-only stamp", "Project"),
+    ],
     "ivf_query_topk_indexed": [
         # the candidate read prunes to the probed posting-list
         # partitions AT THE SCAN — nprobe/k of the index's files
