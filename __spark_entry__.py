@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from etl_kafka_project_spark.ops import analytics as _analytics
+from etl_kafka_project_spark.ops import curation as _curation
 from etl_kafka_project_spark.ops import dedup as _dedup
 from etl_kafka_project_spark.ops import events as _events
 from etl_kafka_project_spark.ops import multimodal as _multimodal
@@ -26,7 +27,16 @@ from etl_kafka_project_spark.ops import relational as _relational
 from etl_kafka_project_spark.ops import similarity as _similarity
 from etl_kafka_project_spark.ops import text as _text
 
-_MODULES = [_relational, _events, _text, _dedup, _similarity, _multimodal, _analytics]
+_MODULES = [
+    _relational,
+    _events,
+    _text,
+    _dedup,
+    _similarity,
+    _multimodal,
+    _analytics,
+    _curation,
+]
 
 
 def entry(spark: SparkSession) -> DataFrame:

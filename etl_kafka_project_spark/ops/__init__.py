@@ -18,7 +18,9 @@ matches. Modules:
 * ``similarity`` — brute-force cosine top-k + LSH hyperplane bucketing
   over ``embeddings``,
 * ``multimodal`` — opaque-binary column plumbing (pack / metadata /
-  pandas-UDF feature extraction; decode stubbed — no codec libs here).
+  pandas-UDF feature extraction; decode stubbed — no codec libs here),
+* ``curation``   — near-dup cluster election (connected components over
+  LSH pairs), deterministic train/val/test split, stratified sampling.
 """
 
 from __future__ import annotations

@@ -1,0 +1,198 @@
+"""Corpus-curation operators — the steps BETWEEN detection and a
+training set. ``dedup.py`` finds candidate near-dup PAIRS; a real
+pretraining pipeline must then (1) group pairs into duplicate CLUSTERS
+and elect one canonical document per cluster, (2) assign every document
+a deterministic train/val/test split, and (3) draw stratified samples
+per stratum for eval sets. (The reference's scope ends at keyed upserts
+— ``utils/interfaces/kafka_interface.py`` — these operators extend the
+engine along SURVEY §6's training-data axis.)
+
+Scale notes:
+
+* ``neardup_clusters`` is iterative min-label propagation over the LSH
+  candidate-pair graph — the textbook distributed connected-components
+  loop (each round: one equi-join + one min-aggregate, both shuffling
+  on doc_id; lineage truncated per round so plans stay flat). Rounds =
+  graph diameter; near-dup graphs are unions of small cliques (docs
+  sharing a bucket are pairwise connected), so the diameter is tiny
+  and the loop converges in 2-3 rounds regardless of corpus size. For
+  adversarial long-chain graphs the alternating large-star/small-star
+  variant (Kiveris et al., "Connected Components in MapReduce") drops
+  rounds to O(log n); the per-round plan here is the small-star step.
+* ``dataset_split_assign`` is a map-only stamp: md5-derived bucket in
+  [0, 65536) → 80/10/10 thresholds. Content-independent, seedable,
+  reproducible across engines and runs — never ``rand()``, which
+  re-rolls per retry/recompute and breaks exactly-once semantics.
+* ``stratified_sample_per_group`` is one window over a (stratum,
+  md5-order) partitioning: deterministic pseudo-random top-k per
+  stratum, one shuffle, no driver-side sampling state.
+
+md5 is the hash family throughout because Spark and DuckDB agree on it
+byte-for-byte, keeping every stage oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_kafka_project_spark.ops import load
+from etl_kafka_project_spark.ops.dedup import LSH_PAIRS_SQL, lsh_candidate_pairs
+
+#: convergence cap for the label-propagation loop; near-dup graphs are
+#: clique-unions with tiny diameter, so hitting this means the input is
+#: not a candidate-pair graph (e.g. a path graph) — fail loudly rather
+#: than return half-propagated labels.
+MAX_CC_ROUNDS = 25
+
+
+def neardup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Connected components over the LSH candidate-pair graph: every
+    document gets a ``cluster_id`` (the minimum doc_id reachable through
+    near-dup pairs — the cluster's canonical document) and an
+    ``is_canonical`` flag. Documents in no pair are their own singleton
+    cluster. This is the step that turns pairwise LSH hits into a
+    keep/drop decision per document."""
+    docs = load(spark, sf, "documents").select("doc_id")
+    pairs = lsh_candidate_pairs(spark, sf)
+    # undirected: propagate labels both ways; localCheckpoint stages the
+    # pair computation once (the 8-hash MinHash lineage must not be
+    # re-run every round) and truncates lineage so round-R plans don't
+    # nest R copies of the join
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .localCheckpoint(eager=True)
+    )
+    labels = docs.select(F.col("doc_id").alias("id"), F.col("doc_id").alias("lbl"))
+    for _ in range(MAX_CC_ROUNDS):
+        nbr_min = (
+            edges.join(labels, edges.src == labels.id)
+            .groupBy("dst")
+            .agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.id == nbr_min.dst, "left")
+            .select(
+                "id",
+                F.least("lbl", F.coalesce("nbr_lbl", "lbl")).alias("lbl"),
+                (F.col("nbr_lbl") < F.col("lbl")).alias("_changed"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        converged = new_labels.filter(F.col("_changed")).isEmpty()
+        labels = new_labels.drop("_changed")
+        if converged:
+            break
+    else:
+        raise RuntimeError(f"neardup_clusters did not converge in {MAX_CC_ROUNDS} rounds")
+    return labels.select(
+        F.col("id").alias("doc_id"),
+        F.col("lbl").alias("cluster_id"),
+        (F.col("lbl") == F.col("id")).cast("int").alias("is_canonical"),
+    )
+
+
+NEARDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE pairs AS ({LSH_PAIRS_SQL}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach(id, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+)
+SELECT id AS doc_id, min(lbl) AS cluster_id,
+       CAST(min(lbl) = id AS INT) AS is_canonical
+FROM reach GROUP BY id
+"""
+
+
+# 4 hex digits of md5 -> [0, 65536); thresholds at 80% / 90%
+_SPLIT_BUCKETS = 65536
+_TRAIN_LT = 52429  # floor(0.8 * 65536) + 1 boundary: [0, 52428] ≈ 80%
+_VAL_LT = 58982  # (52429, 58981] ≈ 10%
+
+
+def dataset_split_assign(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment per document:
+    bucket = first 4 md5 hex digits of a salted doc_id in [0, 65536).
+    Map-only, content-independent, stable under retries and engine
+    re-runs (no rand()); changing the salt re-deals the split."""
+    d = load(spark, sf, "documents")
+    bucket = F.conv(
+        F.substring(F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))), 1, 4),
+        16,
+        10,
+    ).cast("long")
+    return d.select(
+        "doc_id",
+        bucket.alias("split_bucket"),
+        F.when(bucket < _TRAIN_LT, "train")
+        .when(bucket < _VAL_LT, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+SPLIT_ASSIGN_SQL = f"""
+SELECT doc_id,
+       CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
+         AS split_bucket,
+       CASE
+         WHEN CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
+              < {_TRAIN_LT} THEN 'train'
+         WHEN CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
+              < {_VAL_LT} THEN 'val'
+         ELSE 'test'
+       END AS split
+FROM documents
+"""
+
+
+SAMPLE_PER_STRATUM = 5
+
+
+def stratified_sample_per_group(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic stratified sample: the ``SAMPLE_PER_STRATUM``
+    documents per (lang, source) stratum that rank first by md5(doc_id)
+    — a reproducible pseudo-random draw (md5 order is uncorrelated with
+    doc_id order). One window, one shuffle on the stratum key; at 100 TB
+    the rank prunes each stratum to k rows before anything wide moves."""
+    d = load(spark, sf, "documents")
+    rank_key = F.md5(F.concat(F.lit("sample:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("lang", "source").orderBy(rank_key.asc(), F.col("doc_id").asc())
+    return (
+        d.select("doc_id", "lang", "source", F.row_number().over(w).alias("sample_rank"))
+        .filter(F.col("sample_rank") <= SAMPLE_PER_STRATUM)
+    )
+
+
+STRATIFIED_SAMPLE_SQL = f"""
+SELECT doc_id, lang, source, sample_rank
+FROM (
+  SELECT doc_id, lang, source,
+         row_number() OVER (
+           PARTITION BY lang, source
+           ORDER BY md5('sample:' || CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+         ) AS sample_rank
+  FROM documents
+)
+WHERE sample_rank <= {SAMPLE_PER_STRATUM}
+"""
+
+
+QUERIES = {
+    "neardup_clusters": neardup_clusters,
+    "dataset_split_assign": dataset_split_assign,
+    "stratified_sample_per_group": stratified_sample_per_group,
+}
+
+ORACLES = {
+    "neardup_clusters": NEARDUP_CLUSTERS_SQL,
+    "dataset_split_assign": SPLIT_ASSIGN_SQL,
+    "stratified_sample_per_group": STRATIFIED_SAMPLE_SQL,
+}
