@@ -259,6 +259,53 @@ WHERE d.lang = 'en' AND q.quality_scaled >= 60000
 """
 
 
+def distinctive_terms(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document top-3 DISTINCTIVE terms: rank by term frequency in
+    the doc (desc) then document frequency across the corpus (asc) then
+    term (asc) — the tf-idf ranking with integer keys only, so the
+    order (and the oracle hash) is engine-exact with no float-log
+    jitter. Shape at scale: tokenize → (doc, term) count → term-level
+    df (second small agg) → shuffle join on term → one window per doc.
+    The vocabulary grows with the corpus, so the df side joins via
+    shuffle (never broadcast); both aggs get map-side partials."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf, "documents")
+    tok = d.select("doc_id", F.explode(_toks()).alias("term")).filter(
+        (F.length("term") >= 3) & ~F.col("term").isin(*STOPWORDS)
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("term").asc()
+    )
+    return (
+        tf.join(df_, "term")
+        .select("doc_id", "term", "tf", "df", F.row_number().over(w).alias("term_rank"))
+        .filter(F.col("term_rank") <= 3)
+    )
+
+
+_STOP_SQL = ", ".join(f"'{s}'" for s in STOPWORDS)
+DISTINCTIVE_TERMS_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, t.term
+  FROM documents, unnest({_TOKS_SQL}) AS t(term)
+  WHERE len(t.term) >= 3 AND t.term NOT IN ({_STOP_SQL})
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+SELECT doc_id, term, tf, df, term_rank FROM (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         row_number() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY tf.tf DESC, df.df ASC, tf.term ASC
+         ) AS term_rank
+  FROM tf JOIN df USING (term)
+) WHERE term_rank <= 3
+"""
+
+
 QUERIES = {
     "token_stats": token_stats,
     "quality_score": quality_score,
@@ -266,9 +313,11 @@ QUERIES = {
     "sha256_documents": sha256_documents,
     "doc_fingerprint": doc_fingerprint,
     "pretrain_corpus_filter": pretrain_corpus_filter,
+    "distinctive_terms": distinctive_terms,
 }
 
 ORACLES = {
+    "distinctive_terms": DISTINCTIVE_TERMS_SQL,
     "token_stats": TOKEN_STATS_SQL,
     "quality_score": QUALITY_SQL,
     "language_id": LANG_ID_SQL,
