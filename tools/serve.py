@@ -18,6 +18,9 @@ object per line (``{"ok": true, "rows": [...]}`` or
 * ``{"op": "subscribe"}`` — drain whatever the change feed currently
   holds through a Structured Streaming reader (availableNow) — the
   subscription path exercised end-to-end without a long-lived socket;
+* ``{"op": "diff", "from_version": N, "to_version": M}`` — state-diff
+  change feed between two committed snapshots (before/after images,
+  metadata-pruned to touched buckets; defaults: latest vs previous);
 * ``{"op": "snapshot_version"}`` / ``{"op": "stop"}``.
 
 Usage:
@@ -83,6 +86,18 @@ class ServeSession:
                 q.awaitTermination()
                 rows = _rows(self.spark.sql(f"SELECT * FROM {name}"))
                 return {"ok": True, "rows": rows}
+            if op == "diff":
+                # state-diff CDF between two committed versions
+                # (before/after images; see cdc/cdf.py)
+                from etl_kafka_project_spark.cdc.cdf import diff_snapshots
+
+                table = LakeTable(self.spark, self.table_root)
+                v_to = req.get("to_version", table.current_version())
+                v_from = req.get("from_version", max(0, int(v_to) - 1))
+                return {
+                    "ok": True,
+                    "rows": _rows(diff_snapshots(table, int(v_from), int(v_to))),
+                }
             if op == "snapshot_version":
                 return {
                     "ok": True,
