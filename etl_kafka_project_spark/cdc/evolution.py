@@ -113,7 +113,10 @@ def evolve_table(table: LakeTable, batch_schema: T.StructType) -> tuple[Snapshot
     Returns the (possibly new) current snapshot and the plan (the caller
     inspects ``plan.incompatible`` to dead-letter those columns' events).
     """
-    snap = table.snapshot()
+    # header-only read: the diff needs schema+version, not the file
+    # listing — materializing every bucket manifest per epoch is O(table)
+    # serial driver time for nothing
+    snap = table.snapshot_header()
     plan = diff_schemas(snap.schema, batch_schema)
     if plan.changes_schema:
         snap = table.commit(

@@ -339,6 +339,18 @@ class LakeTable:
             return Snapshot.from_json(d, files=tuple(files))
         return Snapshot.from_json(d)
 
+    def snapshot_header(self, version: int | None = None) -> Snapshot:
+        """Snapshot metadata (version/schema/epochs/props) WITHOUT
+        materializing file entries — O(1) in table size. For metadata-
+        only decisions (schema diff each epoch, version probes) where
+        assembling every bucket's manifest is pure waste. ``files`` is
+        empty; never hand a header to a reader."""
+        if version is None:
+            version = self.current_version()
+        with open(self._snapshot_path(version)) as f:
+            d = json.load(f)
+        return Snapshot.from_json(d, files=())
+
     # ---------- key bucketing ----------
 
     def bucket_expr(self, snap: Snapshot | None = None) -> F.Column:

@@ -36,6 +36,20 @@ def test_write_commit_read_roundtrip(spark, tmp_table_dir):
     assert got == {("r1", "a", 1), ("r2", "b", 2)}
 
 
+def test_snapshot_header_is_full_metadata_without_files(spark, tmp_table_dir):
+    """The O(1) header read carries the same version/schema/epochs as
+    the full snapshot but materializes no file entries."""
+    t = _mk(spark, tmp_table_dir)
+    df = spark.createDataFrame([("r1", "a", 1), ("r2", "b", 2)], SCHEMA)
+    files = t.write_data_files(df.withColumn("_bucket", t.bucket_expr()))
+    t.commit(0, new_files=files, epoch=("s", 7))
+    full, head = t.snapshot(), t.snapshot_header()
+    assert head.version == full.version
+    assert head.schema == full.schema
+    assert head.committed_epochs == full.committed_epochs
+    assert head.files == () and len(full.files) > 0
+
+
 def test_bucket_pruning_reads_subset(spark, tmp_table_dir):
     t = _mk(spark, tmp_table_dir)
     rows = [(f"r{i}", f"p{i}", i) for i in range(20)]
