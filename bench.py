@@ -182,6 +182,11 @@ def main() -> None:
         # sessions sharing one path wipe each other's shuffle files
         "spark.local.dir": local_dir,
     }
+    # A/B knob: shuffle/spill block codec (default lz4). The wide LWW
+    # fold's shuffle is the measured scaling limiter on this host's
+    # memory bus — zstd trades CPU for bytes moved; unset = Spark default
+    if os.environ.get("SPARK_GRAFT_IO_CODEC"):
+        extra_conf["spark.io.compression.codec"] = os.environ["SPARK_GRAFT_IO_CODEC"]
     if master.startswith("local-cluster"):
         # standalone workers take local dirs from SPARK_LOCAL_DIRS
         os.environ["SPARK_LOCAL_DIRS"] = local_dir

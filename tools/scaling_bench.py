@@ -97,14 +97,49 @@ def loadavg() -> float:
     return float(open("/proc/loadavg").read().split()[0])
 
 
-def wait_for_quiet(gate: float, max_wait_s: float) -> float:
-    """The host is shared; /proc/loadavg is host-wide. Hold each trial
-    until the 1-min load drops under ``gate`` (or the wait budget runs
-    out) so walls measure the job, not the neighbors."""
+def membw_probe() -> float:
+    """Single-thread memory-bandwidth probe (GB/s, best of 3 200-MB
+    copies). /proc/loadavg only sees THIS VM; the physical host is
+    shared at the hypervisor level, and neighbor VMs steal exactly one
+    thing a Spark shuffle needs — memory bandwidth. A probed trial
+    records what the host could actually move at trial start, and the
+    optional --membw-gate refuses to start trials in a starved window
+    (measured here: ~8 GB/s contended vs ~2x that quiet; the 0.2-
+    efficiency control campaign of 2026-08-17 18:25 ran at probe ~8)."""
+    import numpy as np
+
+    a = np.ones(25_000_000)  # 200 MB of float64
+    best = 0.0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        b = a.copy()
+        best = max(best, a.nbytes * 2 / (time.perf_counter() - t0) / 1e9)
+        del b
+    return round(best, 2)
+
+
+def wait_for_quiet(gate: float, max_wait_s: float, membw_gate: float = 0.0) -> float:
+    """The host is shared twice over: /proc/loadavg sees this VM's own
+    runnable tasks, and ``membw_probe`` sees what neighbor VMs (invisible
+    to loadavg) leave of the memory bus. Hold each trial until the
+    1-min load drops under ``gate`` AND (when ``membw_gate`` > 0) the
+    probe clears it, or the wait budget runs out."""
     t0 = time.time()
-    while (ld := loadavg()) > gate and time.time() - t0 < max_wait_s:
-        print(f"  host load {ld} > {gate}, waiting ...", file=sys.stderr, flush=True)
-        time.sleep(20)
+    while time.time() - t0 < max_wait_s:
+        ld = loadavg()
+        if ld > gate:
+            print(f"  host load {ld} > {gate}, waiting ...", file=sys.stderr, flush=True)
+            time.sleep(20)
+            continue
+        if membw_gate > 0 and (bw := membw_probe()) < membw_gate:
+            print(
+                f"  membw {bw} GB/s < {membw_gate} (neighbor-VM pressure), waiting ...",
+                file=sys.stderr,
+                flush=True,
+            )
+            time.sleep(30)
+            continue
+        break
     return loadavg()
 
 
@@ -118,15 +153,31 @@ def run_trial(level: dict, profile: str) -> dict:
         **level["env"],
     )
     load_at_start = loadavg()
+    membw_at_start = membw_probe()
     t0 = time.time()
-    out = subprocess.run(
-        [sys.executable, os.path.join(REPO, "bench.py")],
-        env=env,
-        capture_output=True,
-        text=True,
-        timeout=2400,
-        cwd=REPO,
-    )
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py")],
+            env=env,
+            capture_output=True,
+            text=True,
+            timeout=2400,
+            cwd=REPO,
+        )
+    except subprocess.TimeoutExpired:
+        # a neighbor-swamped trial that outran the budget is a bad
+        # sample, not a campaign-fatal error: min-of-trials discards it
+        print(f"  trial timed out (load {loadavg()}) — discarded", file=sys.stderr)
+        return {
+            "events": 0,
+            "epochs": 0,
+            "wall_sec": 9e9,
+            "events_per_sec": 0.0,
+            "epoch_walls": [],
+            "timed_out": True,
+            "host_load_at_start": load_at_start,
+            "trial_wall": round(time.time() - t0, 1),
+        }
     try:
         line = out.stdout.strip().splitlines()[-1]
         d = json.loads(line)
@@ -135,6 +186,7 @@ def run_trial(level: dict, profile: str) -> dict:
             f"bench.py produced no JSON for {level['name']}:\n{out.stderr[-3000:]}"
         )
     d["cdc"]["host_load_at_start"] = load_at_start
+    d["cdc"]["membw_gbps_at_start"] = membw_at_start
     d["cdc"]["trial_wall"] = round(time.time() - t0, 1)
     return d["cdc"]
 
@@ -182,6 +234,13 @@ def main() -> None:
     ap.add_argument("--executor-mem", default="6g")
     ap.add_argument("--worker-mem-mb", type=int, default=8192)
     ap.add_argument("--load-gate", type=float, default=4.0)
+    ap.add_argument(
+        "--membw-gate",
+        type=float,
+        default=0.0,
+        help="GB/s floor from membw_probe(); 0 disables. Catches"
+        " neighbor-VM memory-bus pressure that /proc/loadavg cannot see",
+    )
     ap.add_argument("--max-wait", type=float, default=600.0)
     ap.add_argument(
         "--control",
@@ -207,7 +266,7 @@ def main() -> None:
     control_results: dict[str, list[dict]] = {lv["name"]: [] for lv in levels}
     for t in range(args.trials):
         for lv in levels:
-            ld = wait_for_quiet(args.load_gate, args.max_wait)
+            ld = wait_for_quiet(args.load_gate, args.max_wait, args.membw_gate)
             print(
                 f"trial {t + 1}/{args.trials} {lv['name']} "
                 f"[{args.mode}/{args.profile}] (load {ld}) ...",
@@ -218,7 +277,7 @@ def main() -> None:
             print(f"  -> {r['wall_sec']}s, {r['events_per_sec']} ev/s", file=sys.stderr)
             results[lv["name"]].append(r)
             if args.control and args.mode == "local":
-                wait_for_quiet(args.load_gate, args.max_wait)
+                wait_for_quiet(args.load_gate, args.max_wait, args.membw_gate)
                 out = subprocess.run(
                     [
                         sys.executable,
@@ -480,12 +539,16 @@ the MINIMUM (least-contended) wall is scored; every trial is listed.
                 f" paired level — the round-2 short-control bias is gone.\n"
             )
         md += "\n<details><summary>all trials</summary>\n\n"
-        md += "| level | trial | wall (s) | events/s | host load at start |\n|---|---|---|---|---|\n"
+        md += (
+            "| level | trial | wall (s) | events/s | host load at start |"
+            " membw GB/s at start |\n|---|---|---|---|---|---|\n"
+        )
         for name, rs in s["all_runs"].items():
             for i, r in enumerate(rs):
                 md += (
                     f"| {name} | {i + 1} | {r['wall_sec']} | {r['events_per_sec']} |"
-                    f" {r['host_load_at_start']} |\n"
+                    f" {r['host_load_at_start']} |"
+                    f" {r.get('membw_gbps_at_start', '—')} |\n"
                 )
         md += "\n</details>\n"
 
