@@ -217,15 +217,21 @@ def corpus_filter_frame(
     the static ``documents`` table AND on the live lake table a CDC
     replay produces (the round-3 end-to-end composition). Gates are
     plain predicates Catalyst pushes to the scan; the dedup keeper is a
-    partial-aggregated groupBy + an id equi-join; composite ids keep via
-    ``min(struct(ids...))`` (same shape, orderable tuple)."""
+    partial-aggregated groupBy + an id equi-join. A single id keeps via
+    plain ``min(id)`` — fixed-width buffer, so Catalyst plans
+    HashAggregate; composite ids need ``min(struct(ids...))``, which
+    hash agg cannot buffer and falls back to sort-based aggregation
+    (still map-side partial, but sorts every partition — only paid when
+    the key really is composite)."""
     text = F.col(content_col)
     qc = _quality_cols(text)
-    keepers = (
-        df.groupBy(F.sha2(text, 256).alias("_sha"))
-        .agg(F.min(F.struct(*id_cols)).alias("_keep"))
-        .select(*[F.col(f"_keep.{c}").alias(c) for c in id_cols])
-    )
+    grouped = df.groupBy(F.sha2(text, 256).alias("_sha"))
+    if len(id_cols) == 1:
+        keepers = grouped.agg(F.min(id_cols[0]).alias(id_cols[0])).select(id_cols[0])
+    else:
+        keepers = grouped.agg(F.min(F.struct(*id_cols)).alias("_keep")).select(
+            *[F.col(f"_keep.{c}").alias(c) for c in id_cols]
+        )
     return (
         df.join(keepers, id_cols)
         .filter(text.isNotNull() & (F.col(lang_col) == lang_value))
