@@ -99,15 +99,24 @@ def delta_rows(folded: DataFrame, snap: Snapshot, writer_version: int) -> DataFr
 
 def _encode_base_as_delta(base: DataFrame, snap: Snapshot) -> DataFrame:
     """A resolved base row is, for resolution purposes, a bundle of
-    single-column writes at ``last_lsn`` (non-null columns only) plus a
-    delete barrier if tombstoned."""
+    single-column writes at ``last_lsn`` — for EVERY column, null or
+    not, plus a delete barrier if tombstoned.
+
+    Null columns must be stamped at ``last_lsn`` too: a base null can
+    mean "erased by a delete/reset barrier at last_lsn", and the barrier
+    itself is gone once compaction folded it into the base. Stamping
+    nulls at NEVER (the pre-fix behavior) let a verbatim re-delivered
+    column write from BEFORE the barrier out-rank the null and resurrect
+    the erased value (found by the redelivery property test: value→D→I
+    then compact then re-deliver). Under the delivery contract any write
+    with lsn <= last_lsn is a re-delivery of something the base already
+    reflects, so the base legitimately wins every such tie-or-older
+    comparison, column by column."""
     key_cols = snap.props["key_columns"]
     cols: list[F.Column] = [F.col(k) for k in key_cols]
     for c in _payload_cols(snap):
         cols.append(F.col(c))
-        cols.append(
-            F.when(F.col(c).isNotNull(), F.col("last_lsn")).otherwise(F.lit(NEVER)).alias(f"{c}_lsn")
-        )
+        cols.append(F.col("last_lsn").alias(f"{c}_lsn"))
     dead = F.col("_deleted")
     cols += [
         F.col("content_sha256"),

@@ -135,6 +135,44 @@ def test_mor_cross_epoch_subset_redelivery(spark, tmp_table_dir):
     )
 
 
+def test_mor_redelivery_after_compaction_respects_erased_columns(spark, tmp_table_dir):
+    """Regression (found by the redelivery property test): a column
+    erased by a delete+reset barrier (value@7 → D@12 → I@13 with the
+    column null) must STAY null when, AFTER compaction folded the
+    barriers into the base row, a later epoch re-delivers the pre-delete
+    write. Pre-fix, _encode_base_as_delta stamped null base columns at
+    NEVER, so the stale lang@7 out-ranked the base's null-as-of-13 and
+    resurrected the erased value."""
+    import pandas as pd
+
+    from etl_kafka_project_spark.cdc.mor import compact_deltas
+
+    events = pd.DataFrame(
+        {
+            "lsn": pd.array([3, 7, 12, 13], dtype="Int64"),
+            "op": ["I", "U", "D", "I"],
+            "ts": pd.to_datetime(["2026-01-01"] * 4),
+            "repo": ["r"] * 4,
+            "path": ["p"] * 4,
+            "commit": [None] * 4,
+            "lang": [None, "go", None, None],
+            "content": ["x", None, None, "seed"],
+        }
+    )
+    table = create_code_table(spark, tmp_table_dir, CFG)
+    merge_events(table, spark.createDataFrame(events, EVENT_SCHEMA), CFG, epoch=("t", 0))
+    compact_deltas(table, delta_share=0.0)
+    # verbatim re-delivery of the pre-delete events only
+    redelivered = spark.createDataFrame(events[events.lsn.isin([3, 7])], EVENT_SCHEMA)
+    merge_events(table, redelivered, CFG, epoch=("t", 1))
+
+    row = table.read().collect()[0].asDict()
+    assert row["lang"] is None, "erased column resurrected by re-delivery"
+    assert row["content"] == "seed"
+    assert row["last_lsn"] == 13
+    assert row["row_version"] == 4
+
+
 def test_mor_compaction_is_threshold_driven_per_bucket(spark, tmp_table_dir):
     """compact_deltas(delta_share=s): only buckets whose delta share
     crosses s rewrite; a cold bucket's base files stay byte-identical on
