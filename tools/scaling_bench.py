@@ -590,12 +590,31 @@ on this box:
   cores-equivalent.
 
 So for memory-bound work the shared-JVM 8->32 wall ratio is capped near
-(13.5/8)/4 = 0.42 REGARDLESS of engine quality. The criterion pair is
-therefore 4 -> 16 cores on the compute-weighted profile: 16 cores sits
-under the ~22-core compute ceiling and the small-payload stream keeps
-total bytes under the bus ceiling, so the pair measures the ENGINE's
-scaling — which is what the >= 0.8 criterion is about. On a real
-cluster, per-node memory bandwidth scales with N.
+(13.5/8)/4 = 0.42 REGARDLESS of engine quality. The criterion pairs are
+therefore low-core pairs on the compute-weighted profiles — 4 -> 16
+(and 2 -> 8 on the half-size stream), where the 4N level sits under the
+~22-core compute ceiling and the small-payload stream keeps total bytes
+under the bus ceiling, so the pair measures the ENGINE's scaling —
+which is what the >= 0.8 criterion is about. On a real cluster,
+per-node memory bandwidth scales with N.
+
+Two fairness/validity rules discovered while measuring (both recorded
+in the harness):
+
+- every bench JVM gets `-XX:ActiveProcessorCount=<its cores>`; without
+  it the N level sizes GC/JIT/netty pools for all 32 host cores and
+  free-rides compilation on the cores outside its allocation,
+  flattering T_N and understating efficiency (walls measured before
+  and after this flag differ ~4x at local[4] and are never comparable);
+- /proc/loadavg sees only THIS VM. The physical host is shared at the
+  hypervisor level, and neighbor VMs steal memory bandwidth invisibly:
+  a 200-MB-copy probe (`membw_probe`) measured ~8 GB/s in windows where
+  an ENGINE-FREE groupBy control scaled at 0.2 from 4->16 cores (more
+  cores, slower wall — on a bare aggregation with no engine code).
+  Every trial records its probe; `--membw-gate` holds trials until the
+  bus clears. Campaign sessions in starved windows indict the host,
+  not the engine — the engine-relative number (engine efficiency /
+  control efficiency in the SAME session) is the noise-robust reading.
 
 Generated by `tools/scaling_bench.py`; machine-readable records live in
 `BENCH/scaling-<mode>-<profile>.json`.
