@@ -83,10 +83,14 @@ def diff_snapshots(table: LakeTable, v_from: int, v_to: int) -> DataFrame:
     after = table.read(version=v_to, buckets=buckets)
     # evolution between versions: align the before side onto the after
     # schema (added columns null-fill — their appearance with a value IS
-    # the change; dropped columns are ignored)
+    # the change; dropped columns are ignored; a type-widened column is
+    # cast to the after-side type so the before/after image structs are
+    # field-wise type-equal and eqNullSafe compares values, not types)
     for c in payload:
         if c not in before.columns:
             before = before.withColumn(c, F.lit(None).cast(snap_to.schema[c].dataType))
+        elif before.schema[c].dataType != snap_to.schema[c].dataType:
+            before = before.withColumn(c, F.col(c).cast(snap_to.schema[c].dataType))
     # images carry keys + payload (keys are join-equal on updates, so
     # they never affect change classification, but downstream consumers
     # — e.g. ``contributions`` grouping by a key column — need them)

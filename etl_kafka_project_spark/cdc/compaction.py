@@ -107,9 +107,30 @@ def compact(
     )
 
 
-def expire_snapshots(table: LakeTable, keep_last: int = 2) -> dict:
+def expire_snapshots(
+    table: LakeTable, keep_last: int = 2, orphan_grace_sec: float = 600.0
+) -> dict:
     """Delete snapshot JSONs older than the newest ``keep_last`` versions
-    and any data file no retained snapshot references (vacuum)."""
+    and any data file no retained snapshot references (vacuum).
+
+    Unreferenced data/manifest files younger than ``orphan_grace_sec``
+    are LEFT ALONE (Iceberg orphan-removal style): ``commit()`` stages
+    data files and manifests BEFORE the snapshot CAS, so a vacuum racing
+    an in-flight commit would otherwise delete files the winning snapshot
+    is about to reference. The grace period only needs to exceed one
+    commit's stage-to-CAS window (sub-second in practice); pass ``0.0``
+    when the caller holds exclusive access.
+    """
+    import time
+
+    now = time.time()
+
+    def _expired(path: str) -> bool:
+        try:
+            return (now - os.path.getmtime(path)) >= orphan_grace_sec
+        except OSError:
+            return False  # concurrently removed/renamed — not ours
+
     current = table.current_version()
     keep_versions = [v for v in range(max(0, current - keep_last + 1), current + 1)]
     retained_files: set[str] = set()
@@ -135,8 +156,9 @@ def expire_snapshots(table: LakeTable, keep_last: int = 2) -> dict:
         bdir = os.path.join(data_dir, bucket_dir)
         for fn in os.listdir(bdir):
             rel = f"data/{bucket_dir}/{fn}"
-            if rel not in retained_files:
-                os.remove(os.path.join(bdir, fn))
+            full = os.path.join(bdir, fn)
+            if rel not in retained_files and _expired(full):
+                os.remove(full)
                 removed_data += 1
 
     # manifest files referenced by no retained snapshot (expired
@@ -146,8 +168,9 @@ def expire_snapshots(table: LakeTable, keep_last: int = 2) -> dict:
     if os.path.isdir(manifest_dir):
         for fn in os.listdir(manifest_dir):
             rel = f"manifests/{fn}"
-            if rel not in retained_manifests:
-                os.remove(os.path.join(manifest_dir, fn))
+            full = os.path.join(manifest_dir, fn)
+            if rel not in retained_manifests and _expired(full):
+                os.remove(full)
                 removed_manifests += 1
     return {"snapshots_removed": removed_snaps, "data_files_removed": removed_data,
             "manifests_removed": removed_manifests,

@@ -161,9 +161,19 @@ _BAND_SQL = "\nUNION ALL\n".join(
     f"SELECT doc_id, {b} AS band, md5(mh{2 * b} || mh{2 * b + 1} || ':{b}') AS bucket FROM sig"
     for b in range(N_BANDS)
 )
+# The oracle mirrors _cap_buckets: members of (band, bucket) groups
+# larger than MAX_LSH_BUCKET are excluded BEFORE pairing, so Spark and
+# DuckDB compute the same relation on degenerate corpora too.
 LSH_PAIRS_SQL = f"""
 WITH sig AS ({MINHASH_SQL}),
-bands AS ({_BAND_SQL})
+bands0 AS ({_BAND_SQL}),
+bands AS (
+  SELECT doc_id, band, bucket FROM (
+    SELECT doc_id, band, bucket,
+           count(*) OVER (PARTITION BY band, bucket) AS _n
+    FROM bands0
+  ) WHERE _n <= {MAX_LSH_BUCKET}
+)
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
 WHERE a.doc_id < b.doc_id

@@ -231,10 +231,28 @@ _IVF_ROOT = (
 )
 
 
+def _dataset_fingerprint(sf: str) -> str:
+    """Cheap content fingerprint of the embeddings parquet: file names +
+    sizes + mtimes. Changing the data under an sf dir changes the
+    fingerprint, so the index cache key rotates and the index rebuilds
+    instead of silently serving stale postings."""
+    path = os.path.join(sf, "embeddings.parquet")
+    parts: list[str] = [os.path.abspath(sf)]
+    if os.path.isdir(path):
+        for fn in sorted(os.listdir(path)):
+            st = os.stat(os.path.join(path, fn))
+            parts.append(f"{fn}:{st.st_size}:{st.st_mtime_ns}")
+    elif os.path.exists(path):
+        st = os.stat(path)
+        parts.append(f"{os.path.basename(path)}:{st.st_size}:{st.st_mtime_ns}")
+    return hashlib.md5("|".join(parts).encode()).hexdigest()[:12]
+
+
 def ivf_index_dir(sf: str) -> str:
-    """Stable on-disk location of the materialized index for a dataset."""
-    key = hashlib.md5(os.path.abspath(sf).encode()).hexdigest()[:12]
-    return os.path.join(_IVF_ROOT, f"index-{key}")
+    """Stable on-disk location of the materialized index for a dataset —
+    keyed by path AND a data fingerprint (file sizes + mtimes), so an
+    in-place rewrite of the embeddings invalidates the cached index."""
+    return os.path.join(_IVF_ROOT, f"index-{_dataset_fingerprint(sf)}")
 
 
 def build_ivf_index(spark: SparkSession, sf: str, index_dir: str | None = None) -> str:

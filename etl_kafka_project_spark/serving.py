@@ -124,12 +124,34 @@ def read_changelog(
     (``cdc/merge.py`` changelog_dir). One row per changed key per epoch:
     ``(stream, epoch, <keys>, op U/D, lsn, <payload>)``; legacy flat
     layouts surface ``stream`` as null."""
+    import glob as _glob
+
     path, layouts = _changelog_globs(table_root)
+    # A crash-retried epoch rewritten under stream=* after a layout
+    # migration leaves its flat epoch=<n> dir behind; reading both would
+    # surface that epoch twice (harmless for apply_changelog's max_by
+    # fold, double-counted by counting consumers). Flat epochs whose id
+    # also exists under ANY stream=* dir are superseded — excluded here.
+    migrated = {
+        os.path.basename(p)
+        for p in _glob.glob(os.path.join(path, "stream=*", "epoch=*"))
+    }
     parts = []
     for g in layouts:
         d = spark.read.option("basePath", path).parquet(g)
         if "stream" not in d.columns:
             d = d.withColumn("stream", F.lit(None).cast("string"))
+            if migrated:
+                superseded = [
+                    int(e.split("=", 1)[1])
+                    for e in {
+                        os.path.basename(p)
+                        for p in _glob.glob(os.path.join(path, "epoch=*"))
+                    }
+                    & migrated
+                ]
+                if superseded:
+                    d = d.filter(~F.col("epoch").isin(superseded))
         parts.append(d)
     if not parts:
         raise FileNotFoundError(f"no changelog under {path}")

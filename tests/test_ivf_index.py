@@ -69,3 +69,43 @@ def test_candidate_scan_prunes_to_probed_partitions(spark, index_dir):
     with contextlib.redirect_stdout(buf):
         cand.explain("formatted")
     assert "PartitionFilters: [centroid_id" in buf.getvalue()
+
+
+def test_index_rebuilds_when_data_changes(spark, tmp_path):
+    """Round-3 verdict #4: the index cache key must carry a DATA
+    fingerprint, not just the dataset path — rewriting the embeddings
+    parquet under the same dir must rotate the key so the next query
+    rebuilds instead of silently serving stale postings."""
+    import shutil
+    import time
+
+    sf_dir = str(tmp_path / "sf")
+    os.makedirs(sf_dir)
+    src = os.path.join(SF, "embeddings.parquet")
+    dst = os.path.join(sf_dir, "embeddings.parquet")
+    if os.path.isdir(src):
+        shutil.copytree(src, dst)
+    else:
+        shutil.copy(src, dst)
+
+    key1 = similarity.ivf_index_dir(sf_dir)
+    idx1 = similarity.build_ivf_index(spark, sf_dir)
+    assert idx1 == key1 and os.path.exists(os.path.join(idx1, "_DONE"))
+    before = similarity.ivf_query_topk_indexed(spark, sf_dir).collect()
+
+    # in-place rewrite: drop the current best-match rows (all vec_ids in
+    # the old top-k except the query itself), keeping schema + centroids
+    drop = [r["vec_id"] for r in before if r["vec_id"] > 3]
+    assert drop
+    e = spark.read.parquet(dst).filter(~F.col("vec_id").isin(drop)).collect()
+    sch = spark.read.parquet(dst).schema
+    shutil.rmtree(dst) if os.path.isdir(dst) else os.remove(dst)
+    time.sleep(0.01)  # ensure a distinct mtime_ns on coarse filesystems
+    spark.createDataFrame(e, sch).coalesce(1).write.parquet(dst)
+
+    key2 = similarity.ivf_index_dir(sf_dir)
+    assert key2 != key1, "fingerprint must change when the data changes"
+    after = similarity.ivf_query_topk_indexed(spark, sf_dir).collect()
+    assert os.path.exists(os.path.join(key2, "_DONE"))
+    got = {r["vec_id"] for r in after}
+    assert not (got & set(drop)), "stale index served deleted vectors"

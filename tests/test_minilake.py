@@ -207,7 +207,7 @@ def test_manifest_vacuum(spark, tmp_table_dir):
         df = spark.createDataFrame([("r1", "p1", i)], SCHEMA)
         files = t.write_data_files(df.withColumn("_bucket", t.bucket_expr()))
         t.commit(i, new_files=files, replaced_buckets={f.bucket for f in files})
-    stats = expire_snapshots(t, keep_last=1)
+    stats = expire_snapshots(t, keep_last=1, orphan_grace_sec=0.0)
     assert stats["manifests_removed"] > 0
     live = {m["path"] for m in t.snapshot().manifests.values()}
     on_disk = {
@@ -215,3 +215,37 @@ def test_manifest_vacuum(spark, tmp_table_dir):
     }
     assert on_disk == live
     assert {(r.repo, r.path, r.n) for r in t.read().collect()} == {("r1", "p1", 2)}
+
+
+def test_vacuum_age_gates_young_orphans(spark, tmp_table_dir):
+    """A vacuum racing an in-flight commit must not delete files staged
+    but not yet referenced by a snapshot: unreferenced data/manifest
+    files younger than ``orphan_grace_sec`` survive the default vacuum
+    (Iceberg orphan-removal semantics)."""
+    import os
+
+    from etl_kafka_project_spark.cdc.compaction import expire_snapshots
+
+    t = _mk(spark, tmp_table_dir)
+    for i in range(2):
+        df = spark.createDataFrame([("r1", "p1", i)], SCHEMA)
+        files = t.write_data_files(df.withColumn("_bucket", t.bucket_expr()))
+        t.commit(i, new_files=files, replaced_buckets={f.bucket for f in files})
+    # simulate an in-flight commit: data + manifest staged, no snapshot yet
+    df = spark.createDataFrame([("r9", "p9", 99)], SCHEMA)
+    staged = t.write_data_files(df.withColumn("_bucket", t.bucket_expr()))
+    n_manifests = len(os.listdir(os.path.join(tmp_table_dir, "manifests")))
+    stats = expire_snapshots(t, keep_last=1)  # default grace period
+    # just-written orphans (the staged files AND the superseded v0
+    # manifest, all seconds old) are untouched; old snapshot JSONs (no
+    # race hazard — the CAS is the commit point) still expire
+    assert stats["data_files_removed"] == 0
+    assert stats["manifests_removed"] == 0
+    assert stats["snapshots_removed"] > 0
+    for fe in staged:
+        assert os.path.exists(os.path.join(tmp_table_dir, fe.path))
+    assert len(os.listdir(os.path.join(tmp_table_dir, "manifests"))) == n_manifests
+    # the in-flight commit can still land on the staged files
+    t.commit(2, new_files=staged, replaced_buckets={f.bucket for f in staged})
+    got = {(r.repo, r.path, r.n) for r in t.read().collect()}
+    assert ("r9", "p9", 99) in got

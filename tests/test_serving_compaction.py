@@ -129,7 +129,7 @@ def test_compaction_and_tombstone_purge(spark, tmp_path):
 
     # snapshot expiry: old versions vanish, current stays readable
     v = table.current_version()
-    out = expire_snapshots(table, keep_last=1)
+    out = expire_snapshots(table, keep_last=1, orphan_grace_sec=0.0)
     assert out["snapshots_removed"] > 0
     assert table.current_version() == v
     assert table.read().count() == len(live_after)
@@ -283,3 +283,58 @@ def test_serve_endpoint_end_to_end(spark, replayed):
 
     assert sess.handle({"op": "nope"})["ok"] is False
     assert sess.handle({"op": "stop"})["stopped"]
+
+
+def test_changelog_migrated_flat_epoch_not_double_counted(spark, tmp_path):
+    """Round-3 advice: an epoch crash-retried after the flat->per-stream
+    layout migration is rewritten under ``stream=...`` while its flat
+    ``epoch=<n>`` dir remains on disk. ``read_changelog`` must surface
+    that epoch ONCE (the per-stream copy wins) so counting consumers
+    don't double-count; distinct flat-only epochs still appear."""
+    import shutil
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from etl_kafka_project_spark.cdc.envelope import EVENT_SCHEMA
+
+    root = str(tmp_path / "table")
+    create_code_table(spark, root, CFG)
+
+    def events(rows):
+        cols = ["lsn", "op", "repo", "path", "commit", "lang", "content"]
+        pdf = pd.DataFrame(rows, columns=cols)
+        pdf["ts"] = pd.Timestamp("2024-01-01")
+        schema = T.StructType([f for f in EVENT_SCHEMA.fields])
+        return spark.createDataFrame(pdf[[f.name for f in schema.fields]], schema)
+
+    job = ReplayJob(
+        table_root=root,
+        stream_dir=str(tmp_path / "unused"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        config=CFG,
+        stream_id="s1",
+    )
+    job.apply_epoch(events([(1, "I", "r1", "p", "c1", "go", "v1")]), 0)
+    job.apply_epoch(events([(2, "U", "r1", "p", "c2", None, None)]), 1)
+
+    cl = os.path.join(root, "changelog")
+    # simulate the migration leftover: epoch 0's files also present flat
+    shutil.copytree(
+        os.path.join(cl, "stream=s1", "epoch=0"), os.path.join(cl, "epoch=0")
+    )
+    # and one genuinely pre-migration epoch that exists ONLY flat
+    shutil.copytree(
+        os.path.join(cl, "stream=s1", "epoch=1"), os.path.join(cl, "epoch=7")
+    )
+
+    feed = serving.read_changelog(spark, root)
+    per_epoch = {
+        (r["epoch"], r["stream"]): r["n"]
+        for r in feed.groupBy("epoch", "stream").count().withColumnRenamed("count", "n").collect()
+    }
+    # epoch 0 appears once, under the stream namespace only
+    assert (0, "s1") in per_epoch and (0, None) not in per_epoch
+    # the flat-only epoch 7 is still served (as legacy, stream null)
+    assert (7, None) in per_epoch
+    assert per_epoch[(0, "s1")] == 1

@@ -451,11 +451,16 @@ the MINIMUM (least-contended) wall is scored; every trial is listed.
 
     if headline:
         e, s = headline
-        best_eff = max(e, sustained_eff(s) or 0.0)
-        verdict = "MEETS" if best_eff >= 0.8 else "misses"
+        # Verdict pinned to ONE pre-declared metric: sustained-epoch
+        # (the criterion's "sustained merge throughput"). Full-replay
+        # efficiency is reported as context only — never as the more
+        # favorable of the two.
+        criterion_eff = sustained_eff(s) if sustained_eff(s) is not None else e
+        verdict = "MEETS" if criterion_eff >= 0.8 else "misses"
         md += (
             f"\n**Headline absolute result: N -> 4N scaling efficiency"
-            f" = {e} full-replay / {sustained_eff(s)} sustained-epoch ({verdict} the >= 0.8"
+            f" = {sustained_eff(s)} sustained-epoch (the pre-declared criterion"
+            f" metric) / {e} full-replay (context) ({verdict} the >= 0.8"
             f" target on this host), mode={s['mode']},"
             f" profile={s['profile']}. The sustained-epoch number (best single"
             f" epoch at each level, the criterion's 'sustained merge throughput')"
