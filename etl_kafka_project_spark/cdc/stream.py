@@ -70,13 +70,32 @@ class ReplayJob:
     max_files_per_trigger: int | None = None
     salt: int | None = None
     source_format: str = "parquet"  # or "json" (cdc/sources.py)
-    #: e.g. "10 minutes": adds streaming dropDuplicatesWithinWatermark on
-    #: (key..., lsn) BEFORE foreachBatch — bounded-state cross-epoch
-    #: dedup (north star: "dropDuplicates over watermarked state"). This
-    #: closes the re-delivery window the per-batch fold can't see: a
-    #: duplicate event straddling an epoch boundary is dropped here as
-    #: long as it arrives within the watermark horizon.
+    #: e.g. "10 minutes": enables cross-epoch dedup of re-delivered
+    #: events with an event-time watermark declared on the stream
+    #: (north star: "dropDuplicates over watermarked state"). How the
+    #: duplicates are actually dropped is picked by ``watermark_scope``.
     watermark: str | None = None
+    #: HOW the watermarked dedup executes (only read when ``watermark``
+    #: is set):
+    #:
+    #: * ``"committed"`` (default) — exploit that ``foreachBatch`` is
+    #:   SERIAL: epoch N's snapshot commit lands before epoch N+1 is
+    #:   planned, so by the delivery contract (epochs LSN-range-disjoint
+    #:   except verbatim re-delivery, ``cdc/fold.py``) any event with
+    #:   ``lsn <= `` this stream's committed high-water mark IS a
+    #:   re-delivery. ``apply_epoch`` drops those with one cheap literal
+    #:   predicate — no state store, no extra shuffle; the watermark
+    #:   stays declared on the stream for event-time/late-data
+    #:   semantics. Measured ~3.6x cheaper than ``"state"`` at bench
+    #:   scale (round-3 verdict #3); the hwm persists next to the
+    #:   checkpoint so kill-and-resume keeps the guarantee.
+    #: * ``"state"`` — the literal north-star construct:
+    #:   ``dropDuplicatesWithinWatermark`` on (key..., lsn) BEFORE
+    #:   ``foreachBatch``, shuffling every event into the streaming
+    #:   state store. Equivalent result, pays for generality this
+    #:   engine's serial-commit sink doesn't need (a sink that ACKed
+    #:   deliveries before committing would).
+    watermark_scope: str = "committed"
     #: filled as epochs apply (driver-side; one entry per foreachBatch call)
     applied: list[MergeStats] = field(default_factory=list)
 
@@ -96,12 +115,60 @@ class ReplayJob:
     def lineage_dir(self) -> str:
         return os.path.join(self.checkpoint_dir, "lineage")
 
+    # ---------- committed high-water mark (watermark_scope="committed") ----------
+
+    @property
+    def _hwm_path(self) -> str:
+        return os.path.join(self.checkpoint_dir, "hwm.json")
+
+    def _committed_hwm(self) -> int | None:
+        """Max LSN this stream has committed, surviving restarts (read
+        once per process, then tracked driver-side)."""
+        if not hasattr(self, "_hwm"):
+            import json
+
+            try:
+                with open(self._hwm_path) as f:
+                    self._hwm = int(json.load(f)["hwm"])
+            except (OSError, ValueError, KeyError):
+                self._hwm = None
+        return self._hwm
+
+    def _advance_hwm(self, max_lsn: int) -> None:
+        """Persist the new high-water mark AFTER the snapshot commit.
+        A crash between commit and this write just leaves a stale hwm;
+        the merge's own per-key staleness guards still no-op the
+        re-delivery, so the filter is an optimization that is always
+        safe to lag."""
+        import json
+
+        cur = self._committed_hwm()
+        if cur is not None and max_lsn <= cur:
+            return
+        os.makedirs(self.checkpoint_dir, exist_ok=True)
+        tmp = self._hwm_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"hwm": int(max_lsn), "stream": self.stream_id}, f)
+        os.replace(tmp, self._hwm_path)
+        self._hwm = int(max_lsn)
+
     # ---------- the foreachBatch body ----------
 
     def apply_epoch(self, batch_df: DataFrame, epoch_id: int) -> MergeStats:
         """Apply one micro-batch exactly once. Public so batch-mode
         replays and tests can drive it without a streaming query."""
         spark = batch_df.sparkSession
+        # observations must fire even when a filter empties the batch
+        # (all-redelivered epochs): AQE's empty-relation propagation
+        # would drop the CollectMetrics node (see session.py). Guarded
+        # here too for sessions not built by build_session.
+        _rule = "org.apache.spark.sql.execution.adaptive.AQEPropagateEmptyRelation"
+        _excl = spark.conf.get("spark.sql.adaptive.optimizer.excludedRules", "") or ""
+        if _rule not in _excl:
+            spark.conf.set(
+                "spark.sql.adaptive.optimizer.excludedRules",
+                f"{_excl},{_rule}" if _excl else _rule,
+            )
         table = LakeTable(spark, self.table_root)
         lineage = LineageLog(self.lineage_dir, self.stream_id)
 
@@ -169,6 +236,20 @@ class ReplayJob:
             )
             valid, _ = split_dead_letters(batch)
 
+            # watermarked cross-epoch dedup, "committed" scope: every
+            # event at or below this stream's committed high-water mark
+            # is a verbatim re-delivery (delivery contract; foreachBatch
+            # commits serially) — drop pre-merge with a literal
+            # predicate instead of a state-store shuffle. Valid events
+            # always carry a non-null lsn (envelope P2), so the
+            # null-unsafe comparison never drops a fresh event.
+            if self.watermark and self.watermark_scope == "committed":
+                hwm = self._committed_hwm()
+                if hwm is not None:
+                    valid = valid.filter(
+                        F.col(self.config.lsn_column) > F.lit(int(hwm))
+                    )
+
             # additive/widening schema evolution BEFORE the merge; its
             # commit is idempotent (re-diff after crash is empty), so it
             # can sit outside the epoch-stamped data commit safely
@@ -211,6 +292,11 @@ class ReplayJob:
         # sets events_in directly.
         if stats.per_bucket and "events" in stats.per_bucket[0]:
             stats.events_in = sum(r["events"] for r in stats.per_bucket)
+
+        # advance the committed high-water mark only after the epoch's
+        # snapshot commit landed (merge_events returned)
+        if self.watermark and self.watermark_scope == "committed" and stats.lsn_range:
+            self._advance_hwm(stats.lsn_range[1])
 
         # MOR housekeeping: fold deltas into base every N applied epochs
         # (idempotent; a crash before/after just defers it). Also bounds
@@ -277,9 +363,13 @@ class ReplayJob:
                 spark, self.stream_dir, self.event_schema, self.max_files_per_trigger
             )
         if self.watermark:
-            events = events.withWatermark("ts", self.watermark).dropDuplicatesWithinWatermark(
-                [*self.config.key_columns, self.config.lsn_column]
-            )
+            events = events.withWatermark("ts", self.watermark)
+            if self.watermark_scope == "state":
+                events = events.dropDuplicatesWithinWatermark(
+                    [*self.config.key_columns, self.config.lsn_column]
+                )
+            # "committed" scope drops re-deliveries in apply_epoch via
+            # the persisted high-water mark (see watermark_scope above)
         writer = (
             events.writeStream.queryName(f"cdc-{self.stream_id}")
             .option("checkpointLocation", os.path.join(self.checkpoint_dir, "spark"))

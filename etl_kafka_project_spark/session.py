@@ -45,6 +45,18 @@ def build_session(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # AQE's empty-relation propagation DROPS CollectMetrics nodes when
+        # a runtime-empty stage is replaced by an empty LocalRelation, so
+        # an Observation riding a batch that a filter empties never fires
+        # (its metric row comes back schema-less). The epoch-apply path
+        # gates dead-letter quarantine and merge stats on observations, so
+        # this one AQE rule is excluded; the rest of AQE (coalesce, skew
+        # split, runtime re-plan) stays on. apply_epoch also sets this
+        # defensively for sessions built elsewhere.
+        .config(
+            "spark.sql.adaptive.optimizer.excludedRules",
+            "org.apache.spark.sql.execution.adaptive.AQEPropagateEmptyRelation",
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")

@@ -140,18 +140,24 @@ def test_dead_letters_quarantined(spark, tmp_path):
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
 
-def test_watermarked_cross_epoch_dedup(spark, tmp_path):
-    """north star: dropDuplicates over watermarked state. A verbatim
-    duplicate delivered in a LATER epoch (outside the per-batch fold's
-    sight) must be dropped by the streaming dedup state."""
+def _dup_stream(tmp_path):
+    """400 events in 2 segments + 20 of segment 0's events re-delivered
+    verbatim as a third segment (the cross-epoch duplicate scenario)."""
     spec = StreamSpec(n_events=400, n_keys=60, n_segments=2, dup_rate=0.0,
                       shuffle_within_segment=False, min_lines=2, max_lines=3)
     events, segs = generate_stream(str(tmp_path / "stream"), spec)
-
-    # re-deliver 20 of segment 0's events verbatim as a third segment
     dup = pd.read_parquet(segs[0]).head(20)
     dup.to_parquet(str(tmp_path / "stream" / "segment-00002.parquet"))
+    return events
 
+
+def test_watermarked_cross_epoch_dedup(spark, tmp_path):
+    """north star: dropDuplicates over watermarked state. A verbatim
+    duplicate delivered in a LATER epoch (outside the per-batch fold's
+    sight) must be dropped pre-merge. Default scope ("committed"): the
+    persisted high-water-mark predicate does the dropping — no state
+    store shuffle (round-3 verdict #3)."""
+    events = _dup_stream(tmp_path)
     create_code_table(spark, str(tmp_path / "table"), CFG)
     job = _job(tmp_path, max_files_per_trigger=1, watermark="1 hour")
     stats = job.run(spark)
@@ -159,6 +165,49 @@ def test_watermarked_cross_epoch_dedup(spark, tmp_path):
     assert stats[2].events_in == 0  # the re-delivered epoch applied nothing
 
     got = _final_state_pdf(_open(spark, job))
+    want = replay_oracle(events).reindex(columns=got.columns)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_watermarked_state_scope_dedup(spark, tmp_path):
+    """watermark_scope="state": the literal dropDuplicatesWithinWatermark
+    construct drops the re-delivered epoch inside the streaming graph —
+    same observable result as the default committed scope."""
+    events = _dup_stream(tmp_path)
+    create_code_table(spark, str(tmp_path / "table"), CFG)
+    job = _job(tmp_path, max_files_per_trigger=1, watermark="1 hour",
+               watermark_scope="state")
+    stats = job.run(spark)
+    assert len(stats) == 3
+    assert stats[2].events_in == 0
+
+    got = _final_state_pdf(_open(spark, job))
+    want = replay_oracle(events).reindex(columns=got.columns)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_watermarked_hwm_survives_restart(spark, tmp_path):
+    """committed-scope hwm persists next to the checkpoint: a NEW job
+    object (process restart) resuming the same checkpoint still drops a
+    duplicate segment delivered after the restart."""
+    spec = StreamSpec(n_events=400, n_keys=60, n_segments=2, dup_rate=0.0,
+                      shuffle_within_segment=False, min_lines=2, max_lines=3)
+    events, segs = generate_stream(str(tmp_path / "stream"), spec)
+    create_code_table(spark, str(tmp_path / "table"), CFG)
+
+    job1 = _job(tmp_path, max_files_per_trigger=1, watermark="1 hour")
+    assert len(job1.run(spark)) == 2
+    assert os.path.exists(os.path.join(str(tmp_path / "ckpt"), "hwm.json"))
+
+    # "restart": fresh driver-side job state, same checkpoint; the dupe
+    # arrives only now, so Spark's offsets alone can't skip it
+    dup = pd.read_parquet(segs[0]).head(20)
+    dup.to_parquet(str(tmp_path / "stream" / "segment-00002.parquet"))
+    job2 = _job(tmp_path, max_files_per_trigger=1, watermark="1 hour")
+    stats = job2.run(spark)
+    assert [s.events_in for s in stats if not s.skipped] == [0]
+
+    got = _final_state_pdf(_open(spark, job2))
     want = replay_oracle(events).reindex(columns=got.columns)
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
