@@ -93,6 +93,102 @@ def neardup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _star_components(ids: DataFrame, pairs: DataFrame, max_rounds: int = 60) -> DataFrame:
+    """Alternating large-star / small-star connected components
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14): converges in O(log n) rounds on ANY graph — including the
+    adversarial long-chain graphs that defeat plain label propagation's
+    diameter-bound loop.
+
+    Per-round plan is JOIN-FREE: each star step is one window-min over a
+    ``partitionBy(u)`` of the directed edge list (one shuffle), then a
+    projection — no equi-join, no collect_list of neighborhoods (a
+    high-degree node never materializes its neighbor list on one task).
+    Edge count never grows (each step replaces a node's edges with at
+    most as many star edges), so rounds get cheaper as stars collapse.
+
+    ``ids``: one column ``id`` (every node, including isolated ones).
+    ``pairs``: columns ``src``/``dst`` (undirected, any orientation).
+    Returns ``(id, lbl)`` where ``lbl`` is the component's minimum id.
+    """
+    # canonical undirected edges, self-loops dropped
+    edges = (
+        pairs.select(
+            F.least("src", "dst").alias("lo"), F.greatest("src", "dst").alias("hi")
+        )
+        .filter(F.col("lo") != F.col("hi"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    def _unchanged(a: DataFrame, b: DataFrame) -> bool:
+        # cheap count gate first; exact set compare only when counts agree
+        return a.count() == b.count() and a.subtract(b).isEmpty()
+
+    for _ in range(max_rounds):
+        prev = edges
+        # -- large-star: for every node u, hang u's LARGER neighbors off
+        # the minimum of its neighborhood (∪ {u}); directed view (u, v)
+        d = edges.select(F.col("lo").alias("u"), F.col("hi").alias("v")).union(
+            edges.select(F.col("hi").alias("u"), F.col("lo").alias("v"))
+        )
+        wu = Window.partitionBy("u")
+        m = F.least(F.min("v").over(wu), F.col("u"))
+        edges = (
+            d.select(F.col("u").alias("_u"), m.alias("lo"), F.col("v").alias("hi"))
+            .filter(F.col("hi") > F.col("_u"))  # large-star emits v > u only
+            .select("lo", "hi")  # positional schema must match small-star's
+            .filter(F.col("lo") != F.col("hi"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # -- small-star: orient every edge large→small; hang each node's
+        # SMALLER neighbors (and itself) off the minimum one
+        d = edges.select(F.col("hi").alias("u"), F.col("lo").alias("v"))
+        wu = Window.partitionBy("u")
+        m = F.min("v").over(wu)  # all v < u, so min includes the u term trivially
+        star = d.select(m.alias("lo"), F.col("v").alias("hi")).union(
+            d.select(m.alias("lo"), F.col("u").alias("hi"))
+        )
+        new_edges = (
+            star.filter(F.col("lo") != F.col("hi"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # true fixpoint = NEITHER step changed the edge set this round
+        # (a small-star-only fixpoint like {(0,1),(0,2),(1,3)} is not
+        # converged — the next large-star still rewires it)
+        if _unchanged(new_edges, edges) and _unchanged(edges, prev):
+            edges = new_edges
+            break
+        edges = new_edges
+    else:
+        raise RuntimeError(f"_star_components did not converge in {max_rounds} rounds")
+    # fixpoint is a star forest: every node's edges point at its
+    # component min; isolated nodes label themselves
+    root = edges.groupBy(F.col("hi").alias("id")).agg(F.min("lo").alias("_root"))
+    return ids.join(root, "id", "left").select(
+        "id", F.coalesce("_root", "id").alias("lbl")
+    )
+
+
+def neardup_clusters_star(spark: SparkSession, sf: str) -> DataFrame:
+    """``neardup_clusters`` computed by the alternating large-star /
+    small-star algorithm instead of diameter-bound label propagation —
+    identical output (same oracle), O(log n) rounds on any graph shape.
+    This is the variant to reach for when the pair graph isn't known to
+    be a clique-union (e.g. transitive chains of near-dups at 100 TB)."""
+    docs = load(spark, sf, "documents").select(F.col("doc_id").alias("id"))
+    pairs = lsh_candidate_pairs(spark, sf).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    labels = _star_components(docs, pairs)
+    return labels.select(
+        F.col("id").alias("doc_id"),
+        F.col("lbl").alias("cluster_id"),
+        (F.col("lbl") == F.col("id")).cast("int").alias("is_canonical"),
+    )
+
+
 NEARDUP_CLUSTERS_SQL = f"""
 WITH RECURSIVE pairs AS ({LSH_PAIRS_SQL}),
 edges AS (
@@ -187,12 +283,14 @@ WHERE sample_rank <= {SAMPLE_PER_STRATUM}
 
 QUERIES = {
     "neardup_clusters": neardup_clusters,
+    "neardup_clusters_star": neardup_clusters_star,
     "dataset_split_assign": dataset_split_assign,
     "stratified_sample_per_group": stratified_sample_per_group,
 }
 
 ORACLES = {
     "neardup_clusters": NEARDUP_CLUSTERS_SQL,
+    "neardup_clusters_star": NEARDUP_CLUSTERS_SQL,
     "dataset_split_assign": SPLIT_ASSIGN_SQL,
     "stratified_sample_per_group": STRATIFIED_SAMPLE_SQL,
 }
