@@ -59,7 +59,16 @@ from etl_kafka_project_spark.cdc.fold import NEVER, fold_batch
 from etl_kafka_project_spark.config import EngineConfig
 from etl_kafka_project_spark.cdc.salting import plan_write_splits, salted_repartition
 from etl_kafka_project_spark.functions.hashing import sha256_builtin
-from etl_kafka_project_spark.minilake.table import LakeTable
+from etl_kafka_project_spark.minilake.table import LakeTable, SnapshotConflictError
+
+
+def _remove_files(table: LakeTable, files) -> None:
+    """Best-effort removal of a failed commit attempt's data files."""
+    for fe in files:
+        try:
+            os.remove(os.path.join(table.root, fe.path))
+        except OSError:
+            pass
 
 META_FIELDS = [
     T.StructField("content_sha256", T.StringType(), True),
@@ -226,9 +235,18 @@ def _merge_mor(
     bucket_keys: dict[int, int] = {}
     for fe in new_files:
         bucket_keys[fe.bucket] = bucket_keys.get(fe.bucket, 0) + fe.rows
-    committed = table.commit(
-        expected_version=snap.version, new_files=new_files, epoch=epoch
-    )
+    try:
+        committed = table.commit(
+            expected_version=snap.version, new_files=new_files, epoch=epoch
+        )
+    except SnapshotConflictError:
+        # a concurrent writer moved the table: these delta files carry a
+        # now-stale _writer_version stamp (parent-version commit-order
+        # authority), so the caller must RE-MERGE from a fresh snapshot
+        # (cdc/stream.py apply_epoch retries); drop this attempt's files
+        # rather than leave stamped orphans for the vacuum
+        _remove_files(table, new_files)
+        raise
     if timing:
         import sys
 
@@ -430,12 +448,20 @@ def merge_folded(
         resolved = salted_repartition(resolved, key_cols, splits, bucket_col="_bucket")
 
         new_files = table.write_data_files(resolved, bucket_col="_bucket")
-        committed = table.commit(
-            expected_version=snap.version,
-            new_files=new_files,
-            replaced_buckets=touched,
-            epoch=epoch,
-        )
+        try:
+            committed = table.commit(
+                expected_version=snap.version,
+                new_files=new_files,
+                replaced_buckets=touched,
+                epoch=epoch,
+            )
+        except SnapshotConflictError:
+            # COW bucket rewrites are computed against THIS snapshot's
+            # base files — not commutative with a concurrent commit, so
+            # the whole merge re-runs from a fresh snapshot (apply_epoch
+            # retries); this attempt's rewritten buckets are garbage
+            _remove_files(table, new_files)
+            raise
     finally:
         folded.unpersist()
 

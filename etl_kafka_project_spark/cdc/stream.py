@@ -36,6 +36,12 @@ from pyspark.sql.streaming import StreamingQuery
 
 from etl_kafka_project_spark.cdc.envelope import EVENT_SCHEMA, split_dead_letters
 
+#: max snapshot-CAS losses one epoch tolerates before failing the query;
+#: each loss means a concurrent stream committed — the retry re-merges
+#: from the fresh snapshot, so progress is guaranteed as long as SOME
+#: writer advances (the compactor uses its own, wider bound)
+EPOCH_COMMIT_RETRIES = 20
+
 
 def _dead_letter_counts(path: str) -> dict[str, int]:
     """Per-reason dead-letter counts from the quarantine files' own
@@ -250,21 +256,55 @@ class ReplayJob:
                         F.col(self.config.lsn_column) > F.lit(int(hwm))
                     )
 
-            # additive/widening schema evolution BEFORE the merge; its
-            # commit is idempotent (re-diff after crash is empty), so it
-            # can sit outside the epoch-stamped data commit safely
-            evolve_table(table, valid.schema)
-            phases["evolve_s"] = round(_time.time() - t, 2)
-            t = _time.time()
+            # Optimistic-concurrency retry: two live streams replaying
+            # into ONE table interleave snapshot commits; the loser's
+            # CAS raises SnapshotConflictError. A retry must RE-MERGE
+            # from the fresh snapshot — not just re-commit — because
+            # MOR delta rows are stamped with the parent version as the
+            # commit-order authority and COW rewrites buckets from its
+            # snapshot's base files (the failed attempt's files were
+            # already dropped at the commit site, cdc/merge.py). Each
+            # iteration also re-runs evolve_table (idempotent) in case
+            # the concurrent winner was a schema evolution.
+            from etl_kafka_project_spark.minilake.table import SnapshotConflictError
 
-            stats = merge_events(
-                table,
-                valid,
-                self.config,
-                epoch=(self.stream_id, epoch_id),
-                salt=self.salt,
-                changelog_dir=self.changelog_dir if self.emit_changelog else None,
-            )
+            for attempt in range(EPOCH_COMMIT_RETRIES + 1):
+                try:
+                    # additive/widening schema evolution BEFORE the
+                    # merge; its commit is idempotent (re-diff after
+                    # crash is empty), so it can sit outside the
+                    # epoch-stamped data commit safely
+                    evolve_table(table, valid.schema)
+                    if attempt == 0:
+                        phases["evolve_s"] = round(_time.time() - t, 2)
+                        t = _time.time()
+                    stats = merge_events(
+                        table,
+                        valid,
+                        self.config,
+                        epoch=(self.stream_id, epoch_id),
+                        salt=self.salt,
+                        changelog_dir=self.changelog_dir if self.emit_changelog else None,
+                    )
+                    break
+                except SnapshotConflictError:
+                    phases["commit_conflicts"] = attempt + 1
+                    if table.snapshot().has_epoch(self.stream_id, epoch_id):
+                        # a concurrent retry of THIS stream won with our
+                        # epoch id — exactly-once skip, same as the
+                        # crash-resume path above
+                        stats = MergeStats(
+                            epoch_id=epoch_id, events_in=0, keys=0, upserts=0,
+                            deletes=0, touched_buckets=0, wall_ms=0.0,
+                            per_bucket=[], skipped=True,
+                            snapshot_version=table.current_version(),
+                        )
+                        break
+            else:
+                raise SnapshotConflictError(
+                    f"epoch {epoch_id} of stream {self.stream_id} lost the"
+                    f" snapshot CAS {EPOCH_COMMIT_RETRIES + 1} times in a row"
+                )
             phases["merge_s"] = round(_time.time() - t, 2)
             t = _time.time()
 
