@@ -223,3 +223,31 @@ def changelog_as_messages(feed: DataFrame, key_columns: list[str]) -> DataFrame:
 def latest(spark: SparkSession, table_root: str, version: int | None = None) -> DataFrame:
     """Read the (or a time-traveled) snapshot without tombstones."""
     return LakeTable(spark, table_root).read(version=version)
+
+
+def point_lookup(spark: SparkSession, table_root: str, exact: dict | None) -> DataFrame | None:
+    """Pruned read for a point query: when ``exact`` pins EVERY key
+    column to a single term, the row can live in exactly one hash bucket
+    — compute it (a LocalTableScan over one literal row, no files) and
+    read only that bucket's manifest, further pruned by per-file
+    [min, max] key stats (``LakeTable.read(key_equals=...)``). On a
+    multi-bucket table this turns the serve endpoint's detail-fetch
+    (reference keyed GET, ``redis_interface.py:86-99``) from a full
+    snapshot scan into an O(files-in-one-bucket) read. Returns ``None``
+    when the query isn't a point lookup (caller falls back to the full
+    snapshot scan)."""
+    if not exact:
+        return None
+    table = LakeTable(spark, table_root)
+    snap = table.snapshot()
+    keys = snap.props["key_columns"]
+    if not all(k in exact and ", " not in str(exact[k]) for k in keys):
+        return None
+    vals = {k: _guard(str(exact[k])) for k in keys}
+    one = spark.createDataFrame(
+        [tuple(vals[k] for k in keys)], schema=", ".join(f"`{k}` string" for k in keys)
+    ).select(
+        *[F.col(k).cast(snap.schema[k].dataType).alias(k) for k in keys]
+    )
+    bucket = one.select(table.bucket_expr(snap).alias("_b")).collect()[0]["_b"]
+    return table.read(buckets={int(bucket)}, key_equals=vals)

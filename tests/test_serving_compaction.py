@@ -34,6 +34,52 @@ def replayed(spark, tmp_path_factory):
     return str(tmp / "table"), events
 
 
+def test_point_lookup_prunes_to_one_bucket(spark, replayed, monkeypatch):
+    """Round-3 verdict #7: a serve point query (every key column pinned
+    by an exact term) must read only the key's hash bucket — and within
+    it only manifest-stat survivors — not the whole snapshot."""
+    root, events = replayed
+    live = replay_oracle(events)
+    key = live.iloc[0]
+    table = LakeTable(spark, root)
+    total_files = len(table.snapshot().files)
+    assert total_files >= CFG.n_buckets  # multi-bucket table, >=1 file each
+
+    seen: list[list[str]] = []
+    orig = LakeTable._read_files
+
+    def spy(self, snap, files, schema=None):
+        seen.append([f.path for f in files])
+        return orig(self, snap, files, schema)
+
+    monkeypatch.setattr(LakeTable, "_read_files", spy)
+    df = serving.point_lookup(spark, root, {"repo": key.repo, "path": key.path})
+    rows = df.collect()
+    monkeypatch.setattr(LakeTable, "_read_files", orig)
+
+    assert df is not None
+    assert len(rows) == 1 and rows[0]["repo"] == key.repo and rows[0]["path"] == key.path
+    read_paths = [p for batch in seen for p in batch]
+    # O(files-in-one-bucket): every file handed to the reader lives in
+    # ONE bucket dir, and the total is far below the snapshot's file set
+    buckets = {p.split("/")[1] for p in read_paths}
+    assert len(buckets) == 1
+    assert 0 < len(read_paths) < total_files / 4
+
+    # non-point queries (key columns not fully pinned) fall back
+    assert serving.point_lookup(spark, root, {"repo": key.repo}) is None
+    assert serving.point_lookup(spark, root, None) is None
+
+    # the serve endpoint returns the same row through the pruned path
+    from tools.serve import ServeSession
+
+    out = ServeSession(spark, root).handle(
+        {"op": "search", "exact": {"repo": key.repo, "path": key.path}}
+    )
+    assert out["ok"] and len(out["rows"]) == 1
+    assert out["rows"][0]["path"] == key.path
+
+
 def test_search_conjunctive_and_pagination(spark, replayed):
     root, events = replayed
     df = serving.latest(spark, root)

@@ -58,7 +58,12 @@ class ServeSession:
         try:
             op = req.get("op")
             if op == "search":
-                df = serving.latest(self.spark, self.table_root)
+                # point queries (every key column pinned by an exact
+                # term) read one bucket's manifest-pruned files instead
+                # of the whole snapshot
+                df = serving.point_lookup(self.spark, self.table_root, req.get("exact"))
+                if df is None:
+                    df = serving.latest(self.spark, self.table_root)
                 out = serving.search(
                     df,
                     text=req.get("text"),
