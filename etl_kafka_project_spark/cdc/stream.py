@@ -351,10 +351,27 @@ class ReplayJob:
 
             c = compact_deltas(table, delta_share=self.config.compact_delta_share)
             phases["compact_s"] = round(_time.time() - t, 2)
+            t = _time.time()
             phases["compact_buckets"] = c.get("buckets", 0)
             phases["compact_cold_skipped"] = c.get(
                 "cold_buckets_skipped", c.get("skipped_buckets", 0)
             )
+
+        # Snapshot-expiry housekeeping (opt-in cadence): vacuum snapshot
+        # JSONs past the retention window plus data/manifest files no
+        # retained snapshot references. The vacuum's orphan age-gate
+        # makes it safe while concurrent streams stage commits.
+        n_applied = len([s for s in self.applied if not s.skipped]) + 1
+        if (
+            self.config.expire_snapshots_every_epochs
+            and n_applied % self.config.expire_snapshots_every_epochs == 0
+        ):
+            from etl_kafka_project_spark.cdc.compaction import expire_snapshots
+
+            e = expire_snapshots(table, keep_last=self.config.expire_keep_last)
+            phases["expire_s"] = round(_time.time() - t, 2)
+            phases["expire_snapshots_removed"] = e.get("snapshots_removed", 0)
+            phases["expire_data_files_removed"] = e.get("data_files_removed", 0)
 
         # Adaptive hot-key salting (AQE-style, reactive): the merge's
         # per-bucket stats carry the hottest key's folded event count for

@@ -63,6 +63,14 @@ class EngineConfig:
     #: compactor from re-reading cold buckets' full base data for a
     #: handful of delta rows.
     compact_delta_share: float = 0.2
+    #: snapshot-expiry housekeeping cadence: every N applied epochs the
+    #: ReplayJob runs expire_snapshots(keep_last=expire_keep_last) after
+    #: its delta compaction. None (default) = never — snapshot history
+    #: is what time travel / state-diff CDF read, so retention is an
+    #: explicit per-deployment choice. The vacuum age-gates young
+    #: orphans, so it is safe to run while other streams commit.
+    expire_snapshots_every_epochs: int | None = None
+    expire_keep_last: int = 8
     extra: dict = field(default_factory=dict)
 
     def validate(self) -> "EngineConfig":
@@ -74,6 +82,12 @@ class EngineConfig:
             raise ConfigError("compact_delta_share must be in [0, 1)")
         if self.batch_cache not in ("deser", "ser", "none"):
             raise ConfigError("batch_cache must be deser|ser|none")
+        if self.expire_snapshots_every_epochs is not None and (
+            self.expire_snapshots_every_epochs < 1
+        ):
+            raise ConfigError("expire_snapshots_every_epochs must be >= 1 or None")
+        if self.expire_keep_last < 1:
+            raise ConfigError("expire_keep_last must be >= 1")
         if not self.key_columns:
             raise ConfigError("key_columns must be non-empty")
         if self.n_buckets < 1:

@@ -212,6 +212,44 @@ def test_watermarked_hwm_survives_restart(spark, tmp_path):
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
 
+def test_expiry_housekeeping_cadence(spark, tmp_path):
+    """expire_snapshots on the ReplayJob cadence: history past the
+    retention window vanishes while the replay stays correct."""
+    spec = StreamSpec(n_events=600, n_keys=80, n_segments=6, min_lines=2, max_lines=3)
+    events, _ = generate_stream(str(tmp_path / "stream"), spec)
+    create_code_table(spark, str(tmp_path / "table"), CFG)
+    cfg = EngineConfig(
+        n_buckets=CFG.n_buckets, expire_snapshots_every_epochs=2, expire_keep_last=2
+    )
+    job = ReplayJob(
+        table_root=str(tmp_path / "table"),
+        stream_dir=str(tmp_path / "stream"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        config=cfg,
+        max_files_per_trigger=1,
+    )
+    stats = job.run(spark)
+    assert len(stats) == 6
+
+    table = _open(spark, job)
+    current = table.current_version()
+    snap_dir = os.path.join(str(tmp_path / "table"), "snapshots")
+    versions = sorted(
+        int(f[1:].split(".")[0]) for f in os.listdir(snap_dir)  # v{N}.json
+    )
+    # the newest expire pass ran at the last applied epoch that hit the
+    # cadence; everything older than its keep_last=2 window is gone
+    assert versions[-1] == current
+    assert len(versions) <= 2 + 2  # keep window + epochs applied since
+
+    docs = LineageLog(job.lineage_dir, job.stream_id).read_all()
+    assert any(d.get("phases", {}).get("expire_snapshots_removed") for d in docs)
+
+    got = _final_state_pdf(table)
+    want = replay_oracle(events).reindex(columns=got.columns)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
 def test_rate_controlled_continuous_tail(spark, tmp_path):
     """T8: a processingTime-triggered CONTINUOUS tail (available_now=False)
     picks up segments that arrive over time and merges them correctly —
