@@ -32,11 +32,27 @@ commutative (lsns are unique per key), so Catalyst plans a partial
 events in a batch sends one partial row per map task, not 10M rows, to
 the reducer. This is what makes the fold skew-tolerant at 100 TB.
 (Measured on 38k × 2.5KB events: max_by 2.0s vs 5.2s for the equivalent
-max-over-struct, which Spark plans as a SortAggregate.) A two-phase
-*salted* variant is still provided (``fold_batch(salt=...)``) for the
-pathological case of a single key dominating an entire batch AND a wide
-payload making partial-agg rows expensive; correctness is identical
-because the aggregates are associative.
+max-over-struct, which Spark plans as a SortAggregate.)
+
+The per-key replay bookkeeping (``_applied`` = exact distinct-lsn count,
+``_lsns`` = bounded smallest-lsn sample) rides the SAME aggregation via
+``collect_set(lsn)``: unlike ``count_distinct`` — whose Expand-based
+rewrite flips the whole wide-payload fold to a SortAggregate —
+``collect_set`` is an ordinary ObjectHashAggregate function, so one
+scan + one exchange produce the entire fold (round 3 ran a second
+narrow (key, lsn) branch with its own two exchanges, a window sort and
+a re-join per epoch; fusing removed a batch scan and two shuffles from
+every epoch). The set buffer is O(distinct lsns per key per batch) —
+bounded in the default engine by ``config.hot_key_threshold`` (100k ≈
+800 KB worst case), past which the stream's adaptive salting switches
+the fold to the *two-phase* shape below anyway.
+
+The **two-phase** shape (``fold_batch(salt=...)``, also reachable via
+``SPARK_GRAFT_FOLD_SHAPE=two_phase`` for A/B) keeps the round-3 narrow
+(key, lsn) branch — two spillable hash aggregations over ~16-byte rows
+with a window-bounded sample buffer — for the pathological case of a
+single key dominating an entire batch; correctness is identical because
+every aggregate involved is associative + commutative over unique lsns.
 
 Cross-batch delivery contract: batches must be LSN-range-disjoint from
 already-committed epochs except for verbatim re-delivery of old events
@@ -139,17 +155,38 @@ def fold_batch(
     for c in payload_columns:
         aggs += cell_aggs(c)
 
-    # _applied = exact count of DISTINCT lsns per key, computed on a
-    # NARROW (key, lsn) projection as a two-phase hash aggregation:
-    # phase 1 groups by (key, lsn) — map-side partials dedup verbatim
-    # replay duplicates locally AND spread a hot key across reducers by
-    # lsn — phase 2 counts per key. Both phases are spillable hash
-    # aggregates over ~16-byte rows. (Round 1 used size(collect_set(lsn))
-    # here, whose single non-spillable aggregation buffer grows
-    # O(events-per-key) on the reducer — exactly the hot-key OOM the
-    # fold's design is meant to avoid. count_distinct in the SAME agg is
-    # no better: mixing it with max_by flips the whole wide-payload fold
-    # to a SortAggregate.)
+    import os as _os
+
+    two_phase = salt is not None or _os.environ.get("SPARK_GRAFT_FOLD_SHAPE") == "two_phase"
+
+    if not two_phase:
+        # FUSED shape (default): _applied / _lsns ride the wide
+        # aggregation as collect_set(lsn) — one scan, one exchange, no
+        # join (see module docstring for the shape trade-offs). The set
+        # dedups verbatim replay duplicates by construction; _applied =
+        # its size (exact distinct-lsn count), _lsns = its smallest
+        # LSN_SAMPLE+1 members sorted (size == LSN_SAMPLE+1 marks
+        # truncation, same contract as the two-phase shape).
+        folded = events.groupBy(*key_columns).agg(
+            *aggs, F.collect_set(F.col(lsn_col)).alias("_lsnset")
+        )
+        folded = (
+            folded.withColumn("_applied", F.size("_lsnset").cast("long"))
+            .withColumn(
+                "_lsns", F.slice(F.array_sort("_lsnset"), 1, LSN_SAMPLE + 1)
+            )
+            .drop("_lsnset")
+        )
+        return _resolve(folded, key_columns, payload_columns)
+
+    # TWO-PHASE shape: _applied = exact count of DISTINCT lsns per key,
+    # computed on a NARROW (key, lsn) projection as a two-phase hash
+    # aggregation: phase 1 groups by (key, lsn) — map-side partials dedup
+    # verbatim replay duplicates locally AND spread a hot key across
+    # reducers by lsn — phase 2 counts per key. Both phases are spillable
+    # hash aggregates over ~16-byte rows, so a key with millions of
+    # events in one batch never concentrates in a single non-spillable
+    # aggregation buffer (the fused shape's collect_set would).
     #
     # _lsns = the SMALLEST LSN_SAMPLE+1 distinct lsns, sorted — the
     # bounded per-key sample the merge paths use to subtract verbatim
@@ -205,7 +242,12 @@ def fold_batch(
     w, a = wide.alias("w"), applied.alias("a")
     cond = [F.col(f"w.{k}").eqNullSafe(F.col(f"a.{k}")) for k in key_columns]
     folded = w.join(a, cond, "inner").select("w.*", F.col("a._applied"), F.col("a._lsns"))
+    return _resolve(folded, key_columns, payload_columns)
 
+
+def _resolve(
+    folded: DataFrame, key_columns: list[str], payload_columns: list[str]
+) -> DataFrame:
     # Post-aggregation resolution: discard value cells at or below the
     # newest delete (they were erased), surface (value, value_lsn) pairs.
     out_cols: list[F.Column] = [F.col(c) for c in key_columns] + [

@@ -120,6 +120,37 @@ class MergeStats:
     lsn_range: list[int] | None = None
 
 
+#: marker file dropped in a changelog epoch dir whose files are
+#: hardlinked DELTA files (fold-output shape) rather than feed-shaped
+#: parquet; serving.read_changelog projects them at read. Underscore
+#: prefix keeps Spark's parquet reader from treating it as data.
+DELTA_LAYOUT_MARKER = "_delta_layout"
+
+
+def _link_changelog_deltas(
+    table: LakeTable, new_files, changelog_dir: str, epoch: tuple[str, int]
+) -> None:
+    """Publish the epoch's delta files as its change-feed entry by
+    hardlink (fallback: copy, for a cross-device changelog dir). The
+    epoch dir is rebuilt from scratch so crash/conflict retries stay
+    idempotent — a conflict retry re-merges from a fresh snapshot and
+    relinks its OWN files, never the dropped attempt's."""
+    import shutil
+
+    dest = os.path.join(changelog_dir, f"stream={epoch[0]}", f"epoch={epoch[1]}")
+    shutil.rmtree(dest, ignore_errors=True)
+    os.makedirs(dest, exist_ok=True)
+    for fe in new_files:
+        src = os.path.join(table.root, fe.path)
+        dst = os.path.join(dest, os.path.basename(fe.path))
+        try:
+            os.link(src, dst)
+        except OSError:
+            shutil.copy2(src, dst)
+    with open(os.path.join(dest, DELTA_LAYOUT_MARKER), "w") as f:
+        f.write("delta")
+
+
 def _write_changelog(
     folded: DataFrame,
     key_cols: list[str],
@@ -167,8 +198,6 @@ def _merge_mor(
     table: LakeTable,
     folded: DataFrame,
     snap,
-    key_cols: list[str],
-    payload_cols: list[str],
     epoch: tuple[str, int] | None,
     changelog_dir: str | None,
     t0: float,
@@ -208,20 +237,24 @@ def _merge_mor(
         F.max("_max_lsn").alias("max_lsn"),
         F.max("_applied").alias("max_key_events"),
     )
-    # the feed is a second consumer of the fold — only then is caching
-    # worth the materialization cost
-    cached = changelog_dir is not None and epoch is not None
-    if cached:
-        observed.persist()
-    try:
-        if cached:
-            _write_changelog(observed, key_cols, payload_cols, changelog_dir, epoch)
-        marks.append(("plan_build", time.time()))
-        new_files = write_delta_files(table, observed, snap)
-        marks.append(("write_job", time.time()))
-    finally:
-        if cached:
-            observed.unpersist()
+    marks.append(("plan_build", time.time()))
+    new_files = write_delta_files(table, observed, snap)
+    marks.append(("write_job", time.time()))
+    if changelog_dir is not None and epoch is not None:
+        # The outbound change feed IS the epoch's delta files: the feed
+        # columns are a pure projection of the fold output the deltas
+        # store (serving._feed_from_delta does the projection at read),
+        # so instead of a second batch-scale write job over a persisted
+        # fold (the round-3 shape), the committed delta files are
+        # HARDLINKED into the feed's epoch dir — the Paimon
+        # changelog-producer=input / Iceberg changelog-from-deltas
+        # pattern. Per epoch this sheds one full write job and halves
+        # bytes written; the feed stays immutable across compaction and
+        # vacuum because the links keep the inodes alive. Linked BEFORE
+        # the snapshot commit (same crash-retry idempotence as the old
+        # pre-commit overwrite: a retried epoch rebuilds the dir).
+        _link_changelog_deltas(table, new_files, changelog_dir, epoch)
+        marks.append(("changelog_link", time.time()))
     m = obs.get  # write job has run; never blocks here
     n_keys = int(m["keys"] or 0)
     if n_keys == 0:
@@ -305,8 +338,7 @@ def merge_folded(
 
     if config.merge_mode == "mor":
         return _merge_mor(
-            table, folded, snap, key_cols, payload_cols,
-            epoch=epoch, changelog_dir=changelog_dir, t0=t0,
+            table, folded, snap, epoch=epoch, changelog_dir=changelog_dir, t0=t0
         )
 
     folded.persist()

@@ -204,12 +204,13 @@ class ReplayJob:
         phases: dict[str, float] = {}
         t = _time.time()
 
-        # The epoch has three batch consumers (dead-letter quarantine
-        # write, the wide fold aggregation, the narrow distinct-lsn
-        # count). config.batch_cache picks between re-scanning the
-        # source for each (default "none" — parallel work that scales;
-        # measured 4x faster than caching for content-heavy batches)
-        # and caching the batch once (see config.py).
+        # Batch consumers: the merge job (the fused fold scans the
+        # batch exactly once, cdc/fold.py) plus — rarely — the
+        # dead-letter quarantine write. config.batch_cache picks
+        # between re-scanning the source per consumer (default "none" —
+        # parallel work that scales; measured 4x faster than caching
+        # for content-heavy batches) and caching the batch once
+        # (see config.py).
         from pyspark import StorageLevel
 
         # NB pyspark naming: MEMORY_AND_DISK is the SERIALIZED level;

@@ -114,6 +114,50 @@ def _changelog_globs(table_root: str) -> tuple[str, list[str]]:
     return path, layouts
 
 
+def _feed_from_delta(df: DataFrame) -> DataFrame:
+    """Project delta-shaped changelog files (the MOR merge hardlinks
+    each epoch's committed delta files into the feed dir instead of
+    writing a second copy, ``cdc/merge.py _link_changelog_deltas``)
+    into the feed contract shape ``(<keys>, op U/D, lsn, reset_lsn,
+    <payload>, <payload>_lsn..., stream, epoch)``. Payload columns are
+    recognized by their ``{c}_lsn`` twin (every delta payload column
+    has one, ``cdc/mor.py delta_schema``); a write-lsn of the NEVER
+    sentinel (-1, column never set by a surviving event) surfaces as
+    null, matching the directly-written feed."""
+    from etl_kafka_project_spark.cdc.fold import NEVER
+
+    meta = {
+        "content_sha256", "_max_lsn", "_last_d_lsn", "_last_reset_lsn",
+        "_is_delete", "_applied", "_lsns", "_writer_version",
+    }
+    part_cols = [c for c in ("stream", "epoch") if c in df.columns]
+    payload = [
+        c[: -len("_lsn")]
+        for c in df.columns
+        if c.endswith("_lsn") and c not in meta and c[: -len("_lsn")] in df.columns
+    ]
+    keys = [
+        c
+        for c in df.columns
+        if c not in meta
+        and c not in part_cols
+        and c not in payload
+        and c[: -len("_lsn")] not in payload
+    ]
+    return df.select(
+        *keys,
+        F.when(F.col("_is_delete"), F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        F.col("_max_lsn").alias("lsn"),
+        F.col("_last_reset_lsn").alias("reset_lsn"),
+        *payload,
+        *[
+            F.when(F.col(f"{c}_lsn") > NEVER, F.col(f"{c}_lsn")).alias(f"{c}_lsn")
+            for c in payload
+        ],
+        *part_cols,
+    )
+
+
 def read_changelog(
     spark: SparkSession,
     table_root: str,
@@ -123,41 +167,55 @@ def read_changelog(
     """Batch read of the outbound change feed written by the merge
     (``cdc/merge.py`` changelog_dir). One row per changed key per epoch:
     ``(stream, epoch, <keys>, op U/D, lsn, <payload>)``; legacy flat
-    layouts surface ``stream`` as null."""
+    layouts surface ``stream`` as null.
+
+    Three on-disk forms are unified here: per-stream DELTA-linked epochs
+    (marker file, projected via :func:`_feed_from_delta`), per-stream
+    feed-shaped epochs (COW merges / pre-round-4 tables), and the legacy
+    flat ``epoch=*`` layout. A crash-retried epoch rewritten under
+    stream=* after a layout migration leaves its flat epoch=<n> dir
+    behind; reading both would surface that epoch twice (harmless for
+    apply_changelog's max_by fold, double-counted by counting
+    consumers) — flat epoch dirs whose id also exists under ANY
+    stream=* dir are superseded and excluded."""
     import glob as _glob
 
-    path, layouts = _changelog_globs(table_root)
-    # A crash-retried epoch rewritten under stream=* after a layout
-    # migration leaves its flat epoch=<n> dir behind; reading both would
-    # surface that epoch twice (harmless for apply_changelog's max_by
-    # fold, double-counted by counting consumers). Flat epochs whose id
-    # also exists under ANY stream=* dir are superseded — excluded here.
-    migrated = {
-        os.path.basename(p)
-        for p in _glob.glob(os.path.join(path, "stream=*", "epoch=*"))
-    }
+    from etl_kafka_project_spark.cdc.merge import DELTA_LAYOUT_MARKER
+
+    path, _ = _changelog_globs(table_root)
+    nested = sorted(_glob.glob(os.path.join(path, "stream=*", "epoch=*")))
+    flat = sorted(_glob.glob(os.path.join(path, "epoch=*")))
+    migrated = {os.path.basename(p) for p in nested}
+    delta_dirs = [
+        p for p in nested if os.path.exists(os.path.join(p, DELTA_LAYOUT_MARKER))
+    ]
+    feed_nested = [p for p in nested if p not in set(delta_dirs)]
+    feed_flat = [p for p in flat if os.path.basename(p) not in migrated]
+
     parts = []
-    for g in layouts:
-        d = spark.read.option("basePath", path).parquet(g)
-        if "stream" not in d.columns:
-            d = d.withColumn("stream", F.lit(None).cast("string"))
-            if migrated:
-                superseded = [
-                    int(e.split("=", 1)[1])
-                    for e in {
-                        os.path.basename(p)
-                        for p in _glob.glob(os.path.join(path, "epoch=*"))
-                    }
-                    & migrated
-                ]
-                if superseded:
-                    d = d.filter(~F.col("epoch").isin(superseded))
-        parts.append(d)
+    if feed_nested:
+        parts.append(spark.read.option("basePath", path).parquet(*feed_nested))
+    if delta_dirs:
+        # mergeSchema: delta files written before a schema evolution
+        # lack the evolved columns; merged footers null-fill them
+        parts.append(
+            _feed_from_delta(
+                spark.read.option("basePath", path)
+                .option("mergeSchema", "true")
+                .parquet(*delta_dirs)
+            )
+        )
+    if feed_flat:
+        parts.append(
+            spark.read.option("basePath", path)
+            .parquet(*feed_flat)
+            .withColumn("stream", F.lit(None).cast("string"))
+        )
     if not parts:
         raise FileNotFoundError(f"no changelog under {path}")
     df = parts[0]
     for p in parts[1:]:
-        df = df.unionByName(p)
+        df = df.unionByName(p, allowMissingColumns=True)
     if stream_id is not None:
         df = df.filter(F.col("stream") == stream_id)
     if from_epoch is not None:
@@ -168,15 +226,27 @@ def read_changelog(
 def stream_changelog(spark: SparkSession, table_root: str) -> DataFrame:
     """Streaming subscription to the change feed — the engine's
     ``subscribe_movie_updates`` (``graphql_interface.py:44-63``): a file-
-    source tail of the changelog dir, ``outputMode('append')``-safe."""
+    source tail of the changelog dir, ``outputMode('append')``-safe.
+    Delta-linked epochs (MOR merges) are projected to the feed shape on
+    the stream; one on-disk shape per subscription (a file stream needs
+    one schema — mixed-era tables use the batch reader, which unifies)."""
+    import glob as _glob
+
+    from etl_kafka_project_spark.cdc.merge import DELTA_LAYOUT_MARKER
+
     path, layouts = _changelog_globs(table_root)
     if not layouts:
         raise FileNotFoundError(f"no changelog under {path}")
     # one layout per subscription (mixed partition depths can't share a
     # basePath); prefer the current stream=*/epoch=* layout
     glob = layouts[0]
+    delta_shaped = any(
+        os.path.exists(os.path.join(p, DELTA_LAYOUT_MARKER))
+        for p in _glob.glob(os.path.join(path, "stream=*", "epoch=*"))
+    )
     schema = spark.read.option("basePath", path).parquet(glob).schema
-    return spark.readStream.schema(schema).option("basePath", path).parquet(glob)
+    out = spark.readStream.schema(schema).option("basePath", path).parquet(glob)
+    return _feed_from_delta(out) if delta_shaped else out
 
 
 def apply_changelog(
