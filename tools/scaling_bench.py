@@ -457,31 +457,40 @@ the MINIMUM (least-contended) wall is scored; every trial is listed.
         # favorable of the two.
         criterion_eff = sustained_eff(s) if sustained_eff(s) is not None else e
         verdict = "MEETS" if criterion_eff >= 0.8 else "misses"
+        ctrl_eff = (s.get("control") or {}).get("efficiency")
+        rel = s.get("engine_relative_efficiency")
+        paired = (
+            f" The run carried its own duration-matched engine-free control in"
+            f" the same window: control efficiency {ctrl_eff}, engine-relative"
+            f" {rel} — the engine scales {rel}x better than a bare Spark"
+            f" aggregation under identical host conditions."
+            if ctrl_eff is not None and rel is not None
+            else ""
+        )
         md += (
             f"\n**Headline absolute result: N -> 4N scaling efficiency"
             f" = {sustained_eff(s)} sustained-epoch (the pre-declared criterion"
             f" metric) / {e} full-replay (context) ({verdict} the >= 0.8"
-            f" target on this host), mode={s['mode']},"
-            f" profile={s['profile']}. The sustained-epoch number (best single"
-            f" epoch at each level, the criterion's 'sustained merge throughput')"
-            f" and the engine-relative section below are the honest reading on a"
-            f" host whose own ceiling for any Spark workload measured 0.20-0.71"
-            f" across the day, set by hypervisor neighbors stealing memory"
-            f" bandwidth invisible to this VM's loadavg.**\n"
+            f" target), mode={s['mode']},"
+            f" profile={s['profile']}, measured behind the load + membw gates"
+            f" in a quiet host window.{paired}**\n"
         )
         md += """
-## Engine-relative evidence: the HOST caps any Spark workload well under 0.8
+## Engine-relative evidence across host-noise regimes
 
 The same ENGINE-FREE control (textbook `spark.range -> groupBy.agg`,
 `tools/control_shuffle.py`, same JVM flags and gating) was measured in
-paired sessions with the engine across the day's noise regimes
-(2026-08-17, round 3):
+paired sessions with the engine across noise regimes (rounds 3-4). The
+shared host's ceiling for ANY Spark workload varied 0.20-0.71 by time
+of day (hypervisor-neighbor memory-bandwidth theft), which is why the
+criterion ladder had to run behind the membw gate:
 
 | session (noise regime) | pair | engine eff | control eff | engine-relative |
 |---|---|---|---|---|
-| morning, moderate noise (committed r2 data) | 4 -> 16 | 0.552 full / 0.699 sustained | 0.71 (short-run, biased HIGH) | 0.78 |
-| evening, bus-starved (`BENCH/archive/*-1825-starved.json`) | 4 -> 16 | 0.308 | **0.20** (duration-matched, 190M rows) | **1.54** |
-| night, bus-starved (this report's 2 -> 8 ladder) | 2 -> 8 | 0.614 full / 0.591 sustained | — (controls dropped for trial cadence) | — |
+| r4 quiet window — THE CRITERION LADDER | 2 -> 8 | **0.812 full / 0.817 sustained** | 0.689 (paired, duration-matched) | **1.18** |
+| r3 morning, moderate noise | 4 -> 16 | 0.552 full / 0.699 sustained | 0.71 (short-run, biased HIGH) | 0.78 |
+| r3 evening, bus-starved (`BENCH/archive/*-1825-starved.json`) | 4 -> 16 | 0.308 | **0.20** (duration-matched, 190M rows) | **1.54** |
+| r3 night, bus-starved (archived) | 2 -> 8 | 0.614 full / 0.591 sustained | — (controls dropped for trial cadence) | — |
 
 The starved-session control is the decisive data point: a bare Spark
 aggregation with NO engine code got SLOWER from 4 to 16 cores (339 s ->
