@@ -256,6 +256,67 @@ def test_changelog_two_streams_no_clobber(spark, tmp_path):
     pd.testing.assert_frame_equal(got[want.columns], want, check_dtype=False)
 
 
+def test_changelog_spans_schema_evolution(spark, tmp_path):
+    """Delta-linked feed epochs written before and after an additive
+    ALTER must unify on read: ``read_changelog``'s mergeSchema pass
+    null-fills the evolved column (and its write-lsn twin) for
+    pre-evolution epochs, while post-evolution epochs surface the value
+    — and applying the unified feed reproduces the evolved live state."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from etl_kafka_project_spark.cdc.envelope import EVENT_SCHEMA
+    from etl_kafka_project_spark.cdc.evolution import evolve_table
+    from etl_kafka_project_spark.cdc.merge import merge_events
+
+    root = str(tmp_path / "table")
+    feed_dir = os.path.join(root, "changelog")
+    table = create_code_table(spark, root, CFG)
+
+    def events(schema, rows, cols):
+        pdf = pd.DataFrame(rows, columns=cols)
+        pdf["ts"] = pd.Timestamp("2024-01-01")
+        return spark.createDataFrame(pdf[[f.name for f in schema.fields]], schema)
+
+    base_cols = ["lsn", "op", "repo", "path", "commit", "lang", "content"]
+    merge_events(
+        table,
+        events(EVENT_SCHEMA, [(1, "I", "r1", "p", "c1", "go", "v1")], base_cols),
+        CFG,
+        epoch=("s", 0),
+        changelog_dir=feed_dir,
+    )
+
+    authored = T.StructType(
+        EVENT_SCHEMA.fields + [T.StructField("author", T.StringType(), True)]
+    )
+    evolve_table(table, authored)
+    merge_events(
+        table,
+        events(
+            authored,
+            [(2, "U", "r1", "p", "c2", None, None, "alice")],
+            base_cols + ["author"],
+        ),
+        CFG,
+        epoch=("s", 1),
+        changelog_dir=feed_dir,
+    )
+
+    feed = serving.read_changelog(spark, root)
+    rows = {r["epoch"]: r for r in feed.collect()}
+    assert set(rows) == {0, 1}
+    assert rows[0]["author"] is None and rows[0]["op"] == "U" and rows[0]["lsn"] == 1
+    assert rows[0]["author_lsn"] is None  # never written, not a stale sentinel
+    assert rows[1]["author"] == "alice" and rows[1]["lsn"] == 2
+
+    payload = ["commit", "lang", "content", "author"]
+    applied = serving.apply_changelog(feed, ["repo", "path"], payload).collect()
+    assert len(applied) == 1
+    got = applied[0]
+    assert got["commit"] == "c2" and got["lang"] == "go" and got["author"] == "alice"
+
+
 def test_apply_changelog_reproduces_table_state(spark, replayed):
     """Feed-fidelity (ADVICE round 1): a consumer applying the partial-
     update feed per its contract (per-column lsn LWW + reset barrier +
