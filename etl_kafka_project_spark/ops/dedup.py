@@ -51,16 +51,32 @@ def _cap_buckets(bands: DataFrame, cap: int) -> DataFrame:
     n = F.count(F.lit(1)).over(Window.partitionBy("band", "bucket"))
     return bands.withColumn("_n", n).filter(F.col("_n") <= cap).drop("_n")
 
-#: word 3-gram shingles of lower-cased text (falls back to the whole text
-#: for degenerate short docs)
+#: word 3-gram shingles over a pre-staged token-array column ``_toks``
+#: (falls back to the whole text for degenerate short docs). The token
+#: array MUST be staged in its own projection first (``_grams_staged``):
+#: referencing ``split(lower(text), ' ')`` inline here would re-tokenize
+#: the full text once per ``element_at`` inside the lambda — Catalyst's
+#: subexpression elimination does not hoist across lambda scope, so the
+#: inline form is O(words²) per document (measured 9.5x slower at sf0.1).
 _GRAMS = (
-    "CASE WHEN size(split(lower(text), ' ')) >= 3 THEN"
-    " transform(sequence(1, size(split(lower(text), ' ')) - 2),"
-    "  i -> concat(element_at(split(lower(text), ' '), i), ' ',"
-    "              element_at(split(lower(text), ' '), i + 1), ' ',"
-    "              element_at(split(lower(text), ' '), i + 2)))"
+    "CASE WHEN size(_toks) >= 3 THEN"
+    " transform(sequence(1, size(_toks) - 2),"
+    "  i -> concat(element_at(_toks, i), ' ',"
+    "              element_at(_toks, i + 1), ' ',"
+    "              element_at(_toks, i + 2)))"
     " ELSE array(lower(text)) END"
 )
+
+
+def _grams_staged(d: DataFrame) -> DataFrame:
+    """Stage ``_toks`` then project ``_grams`` in two steps.
+
+    Two projections on purpose: ``split`` is not cheap, so Spark's
+    CollapseProject keeps the stage boundary instead of inlining the
+    tokenizer back into every lambda reference."""
+    return d.withColumn("_toks", F.split(F.lower("text"), " ")).withColumn(
+        "_grams", F.expr(_GRAMS)
+    )
 
 _GRAMS_SQL = (
     "CASE WHEN len(string_split(lower(text), ' ')) >= 3 THEN"
@@ -91,10 +107,12 @@ FROM documents GROUP BY sha256(text)
 def minhash_signatures(spark: SparkSession, sf: str) -> DataFrame:
     """8-hash MinHash signature per document (md5 hash family).
 
-    Shingles are staged in ONE column first so the tokenizer and gram
-    builder run once per document, not once per hash function (measured
-    ~8x less expression work at sf0.1)."""
-    d = load(spark, sf, "documents").withColumn("_grams", F.expr(_GRAMS))
+    Tokens and shingles are each staged in ONE column first so the
+    tokenizer runs once per document — not once per gram element, and
+    the gram builder not once per hash function (measured ~8x less
+    expression work at sf0.1 for the gram staging, then another ~9.5x
+    for the token staging — see ``_GRAMS``)."""
+    d = _grams_staged(load(spark, sf, "documents"))
     mh = [
         F.expr(f"array_min(transform(_grams, g -> md5(concat('{j}:', g))))").alias(f"mh{j}")
         for j in range(N_HASHES)
@@ -235,8 +253,8 @@ SIMHASH_SQL = _simhash_sql(16, "simhash16")
 def ngram_jaccard_adjacent(spark: SparkSession, sf: str) -> DataFrame:
     """Exact 3-gram Jaccard on an explicit pair list (adjacent ids here;
     the LSH candidates in production — same join shape)."""
-    d = load(spark, sf, "documents").select(
-        "doc_id", F.expr(f"array_distinct({_GRAMS})").alias("grams")
+    d = _grams_staged(load(spark, sf, "documents")).select(
+        "doc_id", F.array_distinct("_grams").alias("grams")
     )
     a, b = d.alias("a"), d.alias("b")
     joined = a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1)
