@@ -312,6 +312,140 @@ SELECT doc_id, term, tf, df, term_rank FROM (
 """
 
 
+def repetition_top_bigram(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-style repetition signal: the fraction of a document's word
+    bigrams taken by its single most frequent bigram (Rae et al. 2021's
+    "top n-gram fraction" family — heavily repeated n-grams mark boiler-
+    plate and low-quality machine text).
+
+    Scale shape: ZERO shuffle. A per-document statistic never needs a
+    groupBy — the bigram histogram's max is the longest equal run in the
+    doc's SORTED bigram array, computed row-local with ``array_sort`` +
+    ``aggregate`` (both whole-stage-codegen built-ins). At 100 TB this
+    is a map-only scan; the explode→groupBy(doc_id, bigram) form would
+    shuffle every bigram in the corpus twice for the same answer.
+    Tokens are staged first (see ``ops/dedup._GRAMS`` for why inline
+    tokenization inside a lambda is O(words²))."""
+    d = load(spark, sf, "documents").withColumn(
+        "_toks", F.split(F.lower("text"), " ")
+    )
+    bigrams = (
+        "CASE WHEN size(_toks) >= 2 THEN"
+        " transform(sequence(1, size(_toks) - 1),"
+        "  i -> concat(element_at(_toks, i), ' ', element_at(_toks, i + 1)))"
+        " ELSE array() END"
+    )
+    longest_run = (
+        "aggregate(array_sort(_bigrams),"
+        " struct(cast(0 as int) as run, cast(0 as int) as best,"
+        "        cast(null as string) as prev),"
+        " (acc, x) -> struct("
+        "   CASE WHEN acc.prev = x THEN acc.run + 1 ELSE 1 END as run,"
+        "   greatest(acc.best,"
+        "            CASE WHEN acc.prev = x THEN acc.run + 1 ELSE 1 END) as best,"
+        "   x as prev),"
+        " acc -> acc.best)"
+    )
+    frac = F.round(
+        F.col("top_bigram_n").cast("double") / F.col("n_bigrams").cast("double"), 6
+    )
+    return (
+        d.withColumn("_bigrams", F.expr(bigrams))
+        .filter(F.size("_bigrams") > 0)
+        .select(
+            "doc_id",
+            F.size("_bigrams").alias("n_bigrams"),
+            F.expr(longest_run).alias("top_bigram_n"),
+        )
+        .withColumn("top_bigram_frac", frac)
+        .withColumn("repetitive", F.col("top_bigram_frac") >= 0.05)
+    )
+
+
+REPETITION_SQL = """
+WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+bg AS (
+  SELECT doc_id, t[i] || ' ' || t[i+1] AS bg
+  FROM toks, unnest(range(1, len(t))) AS r(i)
+  WHERE len(t) >= 2
+),
+cnt AS (SELECT doc_id, bg, count(*) AS n FROM bg GROUP BY doc_id, bg)
+SELECT doc_id, CAST(sum(n) AS INT) AS n_bigrams, CAST(max(n) AS INT) AS top_bigram_n,
+       round(CAST(max(n) AS DOUBLE) / CAST(sum(n) AS DOUBLE), 6) AS top_bigram_frac,
+       round(CAST(max(n) AS DOUBLE) / CAST(sum(n) AS DOUBLE), 6) >= 0.05 AS repetitive
+FROM cnt GROUP BY doc_id
+"""
+
+
+def decontamination_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark decontamination: for every training document, the
+    fraction of its distinct word 3-grams that also appear in a held-out
+    benchmark set (here: the ``source = 'src0'`` documents stand in for
+    the eval suite). Docs above the threshold are flagged for removal —
+    the standard guard against test-set leakage into pretraining data
+    (GPT-3 appendix C / PaLM-style n-gram overlap decontamination).
+
+    Scale shape: the benchmark gram set is SMALL by construction (eval
+    suites are a few MB), so it broadcasts; the 100-TB corpus side
+    streams through one broadcast-hash probe + one ``groupBy(doc_id)``
+    partial-aggregated count — no corpus-vs-corpus join anywhere."""
+    d = load(spark, sf, "documents").withColumn(
+        "_toks", F.split(F.lower("text"), " ")
+    )
+    grams = (
+        "CASE WHEN size(_toks) >= 3 THEN"
+        " transform(sequence(1, size(_toks) - 2),"
+        "  i -> concat(element_at(_toks, i), ' ', element_at(_toks, i + 1),"
+        "              ' ', element_at(_toks, i + 2)))"
+        " ELSE array(lower(text)) END"
+    )
+    g = d.select(
+        "doc_id", "source", F.explode(F.array_distinct(F.expr(grams))).alias("gram")
+    )
+    bench = g.filter(F.col("source") == "src0").select("gram").distinct()
+    rest = g.filter(F.col("source") != "src0")
+    tot = rest.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    hit = (
+        rest.join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    frac = F.round(
+        F.col("n_hit").cast("double") / F.col("n_grams").cast("double"), 6
+    )
+    return (
+        tot.join(hit, "doc_id", "left")
+        .fillna({"n_hit": 0})
+        .withColumn("overlap_frac", frac)
+        .withColumn("contaminated", F.col("overlap_frac") >= 0.05)
+    )
+
+
+DECONTAMINATION_SQL = """
+WITH toks AS (SELECT doc_id, source, text,
+                     string_split(lower(text), ' ') AS t FROM documents),
+g AS (
+  SELECT doc_id, source, unnest(list_distinct(
+    CASE WHEN len(t) >= 3 THEN
+      list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+    ELSE [lower(text)] END)) AS gram
+  FROM toks
+),
+bench AS (SELECT DISTINCT gram FROM g WHERE source = 'src0'),
+rest AS (SELECT doc_id, gram FROM g WHERE source != 'src0'),
+tot AS (SELECT doc_id, count(*) AS n_grams FROM rest GROUP BY doc_id),
+hit AS (SELECT r.doc_id, count(*) AS n_hit
+        FROM rest r JOIN bench b USING (gram) GROUP BY r.doc_id)
+SELECT t.doc_id, CAST(t.n_grams AS BIGINT) AS n_grams,
+       CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+       round(CAST(coalesce(h.n_hit, 0) AS DOUBLE)
+             / CAST(t.n_grams AS DOUBLE), 6) AS overlap_frac,
+       round(CAST(coalesce(h.n_hit, 0) AS DOUBLE)
+             / CAST(t.n_grams AS DOUBLE), 6) >= 0.05 AS contaminated
+FROM tot t LEFT JOIN hit h USING (doc_id)
+"""
+
+
 QUERIES = {
     "token_stats": token_stats,
     "quality_score": quality_score,
@@ -320,6 +454,8 @@ QUERIES = {
     "doc_fingerprint": doc_fingerprint,
     "pretrain_corpus_filter": pretrain_corpus_filter,
     "distinctive_terms": distinctive_terms,
+    "repetition_top_bigram": repetition_top_bigram,
+    "decontamination_overlap": decontamination_overlap,
 }
 
 ORACLES = {
@@ -330,4 +466,6 @@ ORACLES = {
     "sha256_documents": SHA256_SQL,
     "doc_fingerprint": FINGERPRINT_SQL,
     "pretrain_corpus_filter": PRETRAIN_FILTER_SQL,
+    "repetition_top_bigram": REPETITION_SQL,
+    "decontamination_overlap": DECONTAMINATION_SQL,
 }
