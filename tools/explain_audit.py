@@ -96,6 +96,15 @@ AUDITS: dict[str, list[tuple[str, str]]] = {
     "dataset_split_assign": [
         ("map-only stamp", "Project"),
     ],
+    "repetition_top_bigram": [
+        # per-doc statistic: only the 2 needed columns reach the scan
+        ("column pruning", "ReadSchema: struct<doc_id:bigint,text:string>"),
+    ],
+    "decontamination_overlap": [
+        # the small benchmark gram set broadcasts; the corpus streams
+        ("benchmark broadcast", "BroadcastHashJoin"),
+        ("partial agg", "HashAggregate"),
+    ],
     "ivf_query_topk_indexed": [
         # the candidate read prunes to the probed posting-list
         # partitions AT THE SCAN — nprobe/k of the index's files
@@ -115,6 +124,12 @@ COUNT_AUDITS: dict[str, list[tuple[str, str, int]]] = {
     "lsh_candidate_pairs": [("single documents scan", "Scan parquet", 2)],
     "minhash_signatures": [("single documents scan", "Scan parquet", 2)],
     "simhash_lsh_pairs": [("single documents scan", "Scan parquet", 2)],
+    # a per-document statistic must never shuffle: the longest-equal-run
+    # form is map-only end to end (count 0 == no Exchange node at all)
+    "repetition_top_bigram": [
+        ("zero shuffle (map-only)", "Exchange", 0),
+        ("single documents scan", "Scan parquet", 2),
+    ],
 }
 
 FORBIDDEN = ["CartesianProduct"]
