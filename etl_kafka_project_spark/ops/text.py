@@ -312,6 +312,31 @@ SELECT doc_id, term, tf, df, term_rank FROM (
 """
 
 
+#: word bigrams over a pre-staged ``_toks`` column (empty for 1-token
+#: docs) — staged for the same lambda-scope reason as ``dedup._GRAMS``
+_BIGRAMS = (
+    "CASE WHEN size(_toks) >= 2 THEN"
+    " transform(sequence(1, size(_toks) - 1),"
+    "  i -> concat(element_at(_toks, i), ' ', element_at(_toks, i + 1)))"
+    " ELSE array() END"
+)
+
+#: the count of the most frequent bigram == the longest equal run in the
+#: SORTED bigram array — a row-local fold, so the statistic needs no
+#: explode or shuffle
+_LONGEST_RUN = (
+    "aggregate(array_sort(_bigrams),"
+    " struct(cast(0 as int) as run, cast(0 as int) as best,"
+    "        cast(null as string) as prev),"
+    " (acc, x) -> struct("
+    "   CASE WHEN acc.prev = x THEN acc.run + 1 ELSE 1 END as run,"
+    "   greatest(acc.best,"
+    "            CASE WHEN acc.prev = x THEN acc.run + 1 ELSE 1 END) as best,"
+    "   x as prev),"
+    " acc -> acc.best)"
+)
+
+
 def repetition_top_bigram(spark: SparkSession, sf: str) -> DataFrame:
     """Gopher-style repetition signal: the fraction of a document's word
     bigrams taken by its single most frequent bigram (Rae et al. 2021's
@@ -329,33 +354,16 @@ def repetition_top_bigram(spark: SparkSession, sf: str) -> DataFrame:
     d = load(spark, sf, "documents").withColumn(
         "_toks", F.split(F.lower("text"), " ")
     )
-    bigrams = (
-        "CASE WHEN size(_toks) >= 2 THEN"
-        " transform(sequence(1, size(_toks) - 1),"
-        "  i -> concat(element_at(_toks, i), ' ', element_at(_toks, i + 1)))"
-        " ELSE array() END"
-    )
-    longest_run = (
-        "aggregate(array_sort(_bigrams),"
-        " struct(cast(0 as int) as run, cast(0 as int) as best,"
-        "        cast(null as string) as prev),"
-        " (acc, x) -> struct("
-        "   CASE WHEN acc.prev = x THEN acc.run + 1 ELSE 1 END as run,"
-        "   greatest(acc.best,"
-        "            CASE WHEN acc.prev = x THEN acc.run + 1 ELSE 1 END) as best,"
-        "   x as prev),"
-        " acc -> acc.best)"
-    )
     frac = F.round(
         F.col("top_bigram_n").cast("double") / F.col("n_bigrams").cast("double"), 6
     )
     return (
-        d.withColumn("_bigrams", F.expr(bigrams))
+        d.withColumn("_bigrams", F.expr(_BIGRAMS))
         .filter(F.size("_bigrams") > 0)
         .select(
             "doc_id",
             F.size("_bigrams").alias("n_bigrams"),
-            F.expr(longest_run).alias("top_bigram_n"),
+            F.expr(_LONGEST_RUN).alias("top_bigram_n"),
         )
         .withColumn("top_bigram_frac", frac)
         .withColumn("repetitive", F.col("top_bigram_frac") >= 0.05)
@@ -446,6 +454,84 @@ FROM tot t LEFT JOIN hit h USING (doc_id)
 """
 
 
+def corpus_stats_by_source(spark: SparkSession, sf: str) -> DataFrame:
+    """Dataset-card rollup: per ingestion source, document count, token
+    totals, mean heuristic quality, and the share of repetitive docs —
+    the per-corpus report a pretraining pipeline publishes with every
+    snapshot (a "data card").
+
+    Scale shape: every per-document signal (tokens, quality features,
+    top-bigram repetition) is row-local map work sharing ONE staged
+    token array; the rollup is a single partial-aggregated
+    ``groupBy(source)`` whose output is O(#sources). Quality is summed
+    in its exact integer basis and divided once at the end, so the mean
+    is partitioning-independent."""
+    d = load(spark, sf, "documents").withColumn(
+        "_toks", F.split(F.lower("text"), " ")
+    )
+    q = _quality_cols(F.col("text"))
+    rep_frac = (
+        F.when(
+            F.size("_bigrams") > 0,
+            F.expr(_LONGEST_RUN).cast("double") / F.size("_bigrams").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+    )
+    per_doc = d.withColumn("_bigrams", F.expr(_BIGRAMS)).select(
+        "source",
+        q["n_tokens"].alias("n_tokens"),
+        q["quality_scaled"].alias("quality_scaled"),
+        rep_frac.alias("rep_frac"),
+    )
+    n_docs = F.count(F.lit(1))
+    n_rep = F.sum(F.when(F.round(F.col("rep_frac"), 6) >= 0.05, 1).otherwise(0))
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            n_docs.alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(
+                F.sum("quality_scaled").cast("double") / n_docs.cast("double"), 4
+            ).alias("mean_quality_scaled"),
+            n_rep.alias("n_repetitive"),
+        )
+        .withColumn(
+            "repetitive_share",
+            F.round(F.col("n_repetitive").cast("double") / F.col("n_docs").cast("double"), 4),
+        )
+    )
+
+
+CORPUS_STATS_SQL = f"""
+WITH toks AS (SELECT doc_id, source, text,
+                     string_split(lower(text), ' ') AS t FROM documents),
+bg AS (
+  SELECT doc_id, t[i] || ' ' || t[i+1] AS bg
+  FROM toks, unnest(range(1, len(t))) AS r(i)
+  WHERE len(t) >= 2
+),
+cnt AS (SELECT doc_id, bg, count(*) AS n FROM bg GROUP BY doc_id, bg),
+rep AS (SELECT doc_id, round(CAST(max(n) AS DOUBLE) / CAST(sum(n) AS DOUBLE), 6) AS rep_frac
+        FROM cnt GROUP BY doc_id),
+per_doc AS (
+  SELECT k.source, len(k.t) AS n_tokens,
+         4 * CAST(round(round(CAST(least(length(k.text), 500) AS DOUBLE) / 500.0, 4) * 10000) AS BIGINT)
+       + 3 * CAST(round(round(CAST(len(list_distinct(k.t)) AS DOUBLE) / CAST(len(k.t) AS DOUBLE), 4) * 10000) AS BIGINT)
+       + 3 * (10000 - least(2 * CAST(round(round(CAST(len(list_filter(k.t, x -> x IN ({_STOP_SQL}))) AS DOUBLE) / CAST(len(k.t) AS DOUBLE), 4) * 10000) AS BIGINT), 10000))
+         AS quality_scaled,
+         coalesce(r.rep_frac, 0.0) AS rep_frac
+  FROM toks k LEFT JOIN rep r USING (doc_id)
+)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       round(CAST(sum(quality_scaled) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4) AS mean_quality_scaled,
+       CAST(sum(CASE WHEN rep_frac >= 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive,
+       round(CAST(sum(CASE WHEN rep_frac >= 0.05 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 4) AS repetitive_share
+FROM per_doc GROUP BY source
+"""
+
+
 QUERIES = {
     "token_stats": token_stats,
     "quality_score": quality_score,
@@ -456,6 +542,7 @@ QUERIES = {
     "distinctive_terms": distinctive_terms,
     "repetition_top_bigram": repetition_top_bigram,
     "decontamination_overlap": decontamination_overlap,
+    "corpus_stats_by_source": corpus_stats_by_source,
 }
 
 ORACLES = {
@@ -468,4 +555,5 @@ ORACLES = {
     "pretrain_corpus_filter": PRETRAIN_FILTER_SQL,
     "repetition_top_bigram": REPETITION_SQL,
     "decontamination_overlap": DECONTAMINATION_SQL,
+    "corpus_stats_by_source": CORPUS_STATS_SQL,
 }
