@@ -105,6 +105,9 @@ AUDITS: dict[str, list[tuple[str, str]]] = {
         ("benchmark broadcast", "BroadcastHashJoin"),
         ("partial agg", "HashAggregate"),
     ],
+    "corpus_stats_by_source": [
+        ("rollup via partial agg", "HashAggregate"),
+    ],
     "ivf_query_topk_indexed": [
         # the candidate read prunes to the probed posting-list
         # partitions AT THE SCAN — nprobe/k of the index's files
@@ -130,6 +133,10 @@ COUNT_AUDITS: dict[str, list[tuple[str, str, int]]] = {
         ("zero shuffle (map-only)", "Exchange", 0),
         ("single documents scan", "Scan parquet", 2),
     ],
+    # dataset card: all per-doc signals ride ONE scan; the only
+    # exchange is the O(#sources) rollup (2 = the partial/final pair's
+    # shared shuffle printed in tree + detail sections)
+    "corpus_stats_by_source": [("single documents scan", "Scan parquet", 2)],
 }
 
 FORBIDDEN = ["CartesianProduct"]
