@@ -281,11 +281,72 @@ WHERE sample_rank <= {SAMPLE_PER_STRATUM}
 """
 
 
+#: context budget for the packing index (tokens per training sequence)
+PACK_BUDGET = 512
+
+
+def pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
+    """GPT-style concat-and-chunk packing index: documents are laid out
+    in deterministic (source, doc_id) order as one token stream per
+    source, then chunked into fixed ``PACK_BUDGET``-token training
+    sequences. Each doc gets its stream ``start_offset``, its
+    ``pack_id`` (the chunk its first token lands in), and a
+    ``spans_boundary`` flag (doc crosses a chunk edge — the fraction a
+    loader must split). This is the standard pretraining batch layout
+    (concatenate-then-chunk), as an index — no content moves.
+
+    Scale shape: one window per source — the layout is order-DEFINED,
+    so the cumulative sum is inherently sequential within a source and
+    parallel across sources (at 100 TB the packing unit would be the
+    shard/file, exactly like this per-source form). The window input is
+    3 narrow columns; content never enters the shuffle."""
+    d = load(spark, sf, "documents").select(
+        "source",
+        "doc_id",
+        F.size(F.split(F.lower("text"), " ")).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        d.withColumn("end_offset", F.sum("n_tokens").over(w))
+        .withColumn("start_offset", F.col("end_offset") - F.col("n_tokens"))
+        .withColumn("pack_id", F.floor(F.col("start_offset") / PACK_BUDGET))
+        .withColumn(
+            "spans_boundary",
+            F.floor((F.col("end_offset") - 1) / PACK_BUDGET) != F.col("pack_id"),
+        )
+        .select(
+            "source", "doc_id", "n_tokens", "start_offset", "pack_id", "spans_boundary"
+        )
+    )
+
+
+PACK_SEQUENCES_SQL = f"""
+WITH t AS (SELECT source, doc_id,
+                  len(string_split(lower(text), ' ')) AS n_tokens FROM documents),
+c AS (SELECT source, doc_id, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS end_offset
+      FROM t)
+SELECT source, doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(end_offset - n_tokens AS BIGINT) AS start_offset,
+       CAST(floor((end_offset - n_tokens) / {PACK_BUDGET}) AS BIGINT) AS pack_id,
+       floor((end_offset - 1) / {PACK_BUDGET})
+         != floor((end_offset - n_tokens) / {PACK_BUDGET}) AS spans_boundary
+FROM c
+"""
+
+
 QUERIES = {
     "neardup_clusters": neardup_clusters,
     "neardup_clusters_star": neardup_clusters_star,
     "dataset_split_assign": dataset_split_assign,
     "stratified_sample_per_group": stratified_sample_per_group,
+    "pack_sequences": pack_sequences,
 }
 
 ORACLES = {
@@ -293,4 +354,5 @@ ORACLES = {
     "neardup_clusters_star": NEARDUP_CLUSTERS_SQL,
     "dataset_split_assign": SPLIT_ASSIGN_SQL,
     "stratified_sample_per_group": STRATIFIED_SAMPLE_SQL,
+    "pack_sequences": PACK_SEQUENCES_SQL,
 }
