@@ -8,7 +8,7 @@ is cross-checked in tests.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_kafka_project_spark.ops import load
@@ -532,6 +532,74 @@ FROM per_doc GROUP BY source
 """
 
 
+def unigram_surprisal(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet-family LM quality filtering, with the language model the
+    corpus itself defines: each token's surprisal is ``-ln(tf/total)``
+    under the corpus unigram distribution, and a document's score is its
+    mean token surprisal — high-surprisal docs are the gibberish /
+    OOV-heavy tail an LM-perplexity gate removes (CCNet buckets corpora
+    by KenLM perplexity; the unigram LM is the degenerate-order case and
+    needs no external model).
+
+    Engine-exactness: per-token surprisal is quantized to an integer
+    basis (``round(-ln(p)·10⁴)``) BEFORE the per-doc sum, so the
+    aggregation is exact integer arithmetic — partitioning- and
+    order-independent; the two engines only have to agree on one
+    single-op ``ln`` per vocab row, at 1e-4 quantization.
+
+    Scale shape: vocab = one token-keyed partial-aggregated groupBy
+    (O(vocabulary) output); the corpus total rides a window over that
+    tiny aggregate (single reducer over O(vocab) rows — never a second
+    pass over tokens, never a driver-side literal); scoring is one
+    shuffle join of tokens against the vocab (vocab is broadcast-able
+    at real scale) + one partial-aggregated groupBy(doc_id)."""
+    d = load(spark, sf, "documents")
+    tok = d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok"))
+    vocab = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("tf"))
+    vocab = vocab.withColumn(
+        "total", F.sum("tf").over(Window.partitionBy(F.lit(1)))
+    )
+    surprisal = F.round(
+        -F.log(F.col("tf").cast("double") / F.col("total").cast("double")) * 10000
+    ).cast("long")
+    scored = tok.join(vocab, "tok").select(
+        "doc_id", surprisal.alias("surprisal_scaled")
+    )
+    mean = F.round(
+        F.col("total_surprisal_scaled").cast("double")
+        / F.col("n_tokens").cast("double")
+        / 10000.0,
+        4,
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("surprisal_scaled").alias("total_surprisal_scaled"),
+        )
+        .withColumn("mean_surprisal", mean)
+        .withColumn("high_perplexity", F.col("mean_surprisal") >= 3.5)
+    )
+
+
+UNIGRAM_SURPRISAL_SQL = """
+WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents),
+vocab AS (SELECT tok, count(*) AS tf FROM tok GROUP BY tok),
+total AS (SELECT count(*) AS n FROM tok),
+scored AS (
+  SELECT t.doc_id,
+         CAST(round(-ln(CAST(v.tf AS DOUBLE) / CAST(total.n AS DOUBLE)) * 10000) AS BIGINT) AS s
+  FROM tok t JOIN vocab v USING (tok), total
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(s) AS BIGINT) AS total_surprisal_scaled,
+       round(CAST(sum(s) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 10000.0, 4) AS mean_surprisal,
+       round(CAST(sum(s) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 10000.0, 4) >= 3.5
+         AS high_perplexity
+FROM scored GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "token_stats": token_stats,
     "quality_score": quality_score,
@@ -543,6 +611,7 @@ QUERIES = {
     "repetition_top_bigram": repetition_top_bigram,
     "decontamination_overlap": decontamination_overlap,
     "corpus_stats_by_source": corpus_stats_by_source,
+    "unigram_surprisal": unigram_surprisal,
 }
 
 ORACLES = {
@@ -556,4 +625,5 @@ ORACLES = {
     "repetition_top_bigram": REPETITION_SQL,
     "decontamination_overlap": DECONTAMINATION_SQL,
     "corpus_stats_by_source": CORPUS_STATS_SQL,
+    "unigram_surprisal": UNIGRAM_SURPRISAL_SQL,
 }
