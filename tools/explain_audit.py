@@ -108,6 +108,15 @@ AUDITS: dict[str, list[tuple[str, str]]] = {
     "corpus_stats_by_source": [
         ("rollup via partial agg", "HashAggregate"),
     ],
+    "pack_sequences": [
+        # layout is order-defined: one running-sum window per source
+        ("per-source running sum", "Window"),
+        # only the 3 narrow columns enter the window; content pruned
+        ("column pruning", "ReadSchema: struct<doc_id:bigint,text:string,source:string>"),
+    ],
+    "unigram_surprisal": [
+        ("vocab + per-doc partial aggs", "HashAggregate"),
+    ],
     "ivf_query_topk_indexed": [
         # the candidate read prunes to the probed posting-list
         # partitions AT THE SCAN — nprobe/k of the index's files
@@ -137,6 +146,9 @@ COUNT_AUDITS: dict[str, list[tuple[str, str, int]]] = {
     # exchange is the O(#sources) rollup (2 = the partial/final pair's
     # shared shuffle printed in tree + detail sections)
     "corpus_stats_by_source": [("single documents scan", "Scan parquet", 2)],
+    # both aggs (vocab tf, per-doc surprisal sum) have fixed-width
+    # buffers — neither may fall back to sort-based aggregation
+    "unigram_surprisal": [("no sort-based agg", "SortAggregate", 0)],
 }
 
 FORBIDDEN = ["CartesianProduct"]
