@@ -600,6 +600,69 @@ FROM scored GROUP BY doc_id
 """
 
 
+def curated_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    """The full curation pipeline as ONE declarative keep-list — every
+    gate this module and ``dedup`` provide, composed the way a real
+    pretraining run chains them: exact-dedup keeper (lowest doc_id per
+    identical content) ∘ language gate ∘ heuristic-quality gate ∘
+    Gopher repetition gate ∘ benchmark decontamination (src0 = the
+    held-out eval set, excluded outright; overlapping docs dropped) ∘
+    unigram-surprisal perplexity gate. What survives is the corpus a
+    training job would actually read.
+
+    Scale shape: each signal is a prior oracle-checked operator; the
+    composition is equi-joins on doc_id, so every branch shuffles on
+    the SAME key — AQE (or doc_id bucketing on a real table) co-locates
+    them, and Catalyst pushes the cheap gates (lang, source) to the one
+    documents scan each branch shares."""
+    d = load(spark, sf, "documents")
+    keepers = d.groupBy(F.sha2("text", 256).alias("_h")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    q = quality_score(spark, sf).select("doc_id", "n_tokens", "quality_scaled")
+    rep = repetition_top_bigram(spark, sf).select("doc_id", "repetitive")
+    dec = decontamination_overlap(spark, sf).select("doc_id", "contaminated")
+    sur = unigram_surprisal(spark, sf).select(
+        "doc_id", "mean_surprisal", "high_perplexity"
+    )
+    return (
+        d.select("doc_id", "source", "lang")
+        .join(keepers.select("doc_id"), "doc_id")
+        .join(q, "doc_id")
+        .join(rep, "doc_id", "left")
+        .join(dec, "doc_id")  # inner: src0 (the benchmark) drops here
+        .join(sur, "doc_id")
+        .filter(
+            (F.col("lang") == "en")
+            & (F.col("quality_scaled") >= 60000)
+            & ~F.coalesce(F.col("repetitive"), F.lit(False))
+            & ~F.col("contaminated")
+            & ~F.col("high_perplexity")
+        )
+        .select("doc_id", "source", "n_tokens", "quality_scaled", "mean_surprisal")
+    )
+
+
+CURATED_CORPUS_SQL = f"""
+WITH q AS ({QUALITY_SQL}),
+rep AS ({REPETITION_SQL}),
+dec AS ({DECONTAMINATION_SQL}),
+sur AS ({UNIGRAM_SURPRISAL_SQL}),
+keepers AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY sha256(text))
+SELECT d.doc_id, d.source, q.n_tokens, q.quality_scaled, sur.mean_surprisal
+FROM documents d
+JOIN keepers k ON d.doc_id = k.doc_id
+JOIN q ON q.doc_id = d.doc_id
+LEFT JOIN rep ON rep.doc_id = d.doc_id
+JOIN dec ON dec.doc_id = d.doc_id
+JOIN sur ON sur.doc_id = d.doc_id
+WHERE d.lang = 'en' AND q.quality_scaled >= 60000
+  AND NOT coalesce(rep.repetitive, FALSE)
+  AND NOT dec.contaminated
+  AND NOT sur.high_perplexity
+"""
+
+
 QUERIES = {
     "token_stats": token_stats,
     "quality_score": quality_score,
@@ -612,6 +675,7 @@ QUERIES = {
     "decontamination_overlap": decontamination_overlap,
     "corpus_stats_by_source": corpus_stats_by_source,
     "unigram_surprisal": unigram_surprisal,
+    "curated_corpus": curated_corpus,
 }
 
 ORACLES = {
@@ -626,4 +690,5 @@ ORACLES = {
     "decontamination_overlap": DECONTAMINATION_SQL,
     "corpus_stats_by_source": CORPUS_STATS_SQL,
     "unigram_surprisal": UNIGRAM_SURPRISAL_SQL,
+    "curated_corpus": CURATED_CORPUS_SQL,
 }
