@@ -117,6 +117,11 @@ AUDITS: dict[str, list[tuple[str, str]]] = {
     "unigram_surprisal": [
         ("vocab + per-doc partial aggs", "HashAggregate"),
     ],
+    "curated_corpus": [
+        # all gate branches join on the one key; cheap gates reach scans
+        ("lang gate pushed to scan", "EqualTo(lang,en)"),
+        ("dedup keeper partial agg", "HashAggregate"),
+    ],
     "ivf_query_topk_indexed": [
         # the candidate read prunes to the probed posting-list
         # partitions AT THE SCAN — nprobe/k of the index's files
