@@ -28,12 +28,12 @@ from etl_kafka_project_spark.ops import similarity as _similarity
 from etl_kafka_project_spark.ops import text as _text
 
 # Order matters: the driver's CORRECTNESS harness records at most the
-# first 50 of the 66 registered queries.  Modules whose queries have the
+# first 50 of the 67 registered queries.  Modules whose queries have the
 # fewest driver-green rounds sort FIRST (curation/analytics had never
-# been driver-attested through round 3; round 4 added six queries inside the cap
+# been driver-attested through round 3; round 4 added seven queries inside the cap
 # — repetition_top_bigram, decontamination_overlap,
 # corpus_stats_by_source, pack_sequences, unigram_surprisal,
-# curated_corpus);
+# curated_corpus, dsir_importance);
 # similarity+multimodal and the tail of dedup (multiple green rounds
 # r1-r3) rotate past the cap this round.
 _MODULES = [

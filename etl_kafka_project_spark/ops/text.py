@@ -600,6 +600,92 @@ FROM scored GROUP BY doc_id
 """
 
 
+def dsir_importance(spark: SparkSession, sf: str) -> DataFrame:
+    """DSIR-style importance weighting (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every
+    training document by the log-likelihood ratio between a TARGET
+    domain's unigram LM (here: the ``src0`` documents stand in for the
+    target domain) and the general-corpus LM — documents whose token
+    distribution looks like the target score positive and get selected.
+    The target LM is Laplace-smoothed over the corpus vocabulary so
+    unseen-in-target tokens contribute a finite negative weight.
+
+    Engine-exactness: per-token log-ratio is quantized to an integer
+    basis before the per-doc sum (same discipline as
+    ``unigram_surprisal``), and the OUTPUT stays in that exact integer
+    basis — ``selected`` is ``total ≥ 0``, equivalent to mean ≥ 0, so
+    no float ever reaches a compared column.
+
+    Scale shape: two token-keyed partial-aggregated groupBys (corpus
+    vocab, target vocab — the target is small by construction), scalar
+    totals via windows over the O(vocab) aggregate, one shuffle join of
+    corpus tokens against the scored vocab, one groupBy(doc_id)."""
+    d = load(spark, sf, "documents")
+    tok = d.select(
+        "doc_id", "source", F.explode(F.split(F.lower("text"), " ")).alias("tok")
+    )
+    cor = tok.filter(F.col("source") != "src0")
+    tgt = tok.filter(F.col("source") == "src0")
+    vc = cor.groupBy("tok").agg(F.count(F.lit(1)).alias("tf_cor"))
+    vt = tgt.groupBy("tok").agg(F.count(F.lit(1)).alias("tf_tgt"))
+    w0 = Window.partitionBy(F.lit(1))
+    vocab = (
+        vc.join(vt, "tok", "left")
+        .fillna({"tf_tgt": 0})
+        .withColumn("total_cor", F.sum("tf_cor").over(w0))
+        .withColumn("total_tgt", F.sum("tf_tgt").over(w0))
+        .withColumn("vsize", F.count(F.lit(1)).over(w0))
+    )
+    log_ratio = F.round(
+        (
+            F.log(
+                (F.col("tf_tgt") + 1).cast("double")
+                / (F.col("total_tgt") + F.col("vsize")).cast("double")
+            )
+            - F.log(F.col("tf_cor").cast("double") / F.col("total_cor").cast("double"))
+        )
+        * 10000
+    ).cast("long")
+    scored = cor.join(vocab.select("tok", log_ratio.alias("s")), "tok")
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("s").alias("total_logratio_scaled"),
+        )
+        .withColumn("selected", F.col("total_logratio_scaled") >= 0)
+        .select("doc_id", "n_tokens", "total_logratio_scaled", "selected")
+    )
+
+
+DSIR_SQL = """
+WITH tok AS (SELECT doc_id, source,
+                    unnest(string_split(lower(text), ' ')) AS tok FROM documents),
+cor AS (SELECT * FROM tok WHERE source != 'src0'),
+tgt AS (SELECT * FROM tok WHERE source = 'src0'),
+vc AS (SELECT tok, count(*) AS tf_cor FROM cor GROUP BY tok),
+vt AS (SELECT tok, count(*) AS tf_tgt FROM tgt GROUP BY tok),
+vocab AS (
+  SELECT vc.tok, vc.tf_cor, coalesce(vt.tf_tgt, 0) AS tf_tgt,
+         sum(vc.tf_cor) OVER () AS total_cor,
+         sum(coalesce(vt.tf_tgt, 0)) OVER () AS total_tgt,
+         count(*) OVER () AS vsize
+  FROM vc LEFT JOIN vt USING (tok)
+),
+scored AS (
+  SELECT c.doc_id,
+         CAST(round((ln(CAST(v.tf_tgt + 1 AS DOUBLE) / CAST(v.total_tgt + v.vsize AS DOUBLE))
+                     - ln(CAST(v.tf_cor AS DOUBLE) / CAST(v.total_cor AS DOUBLE))) * 10000)
+              AS BIGINT) AS s
+  FROM cor c JOIN vocab v USING (tok)
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(s) AS BIGINT) AS total_logratio_scaled,
+       sum(s) >= 0 AS selected
+FROM scored GROUP BY doc_id
+"""
+
+
 def curated_corpus(spark: SparkSession, sf: str) -> DataFrame:
     """The full curation pipeline as ONE declarative keep-list — every
     gate this module and ``dedup`` provide, composed the way a real
@@ -676,6 +762,7 @@ QUERIES = {
     "corpus_stats_by_source": corpus_stats_by_source,
     "unigram_surprisal": unigram_surprisal,
     "curated_corpus": curated_corpus,
+    "dsir_importance": dsir_importance,
 }
 
 ORACLES = {
@@ -691,4 +778,5 @@ ORACLES = {
     "corpus_stats_by_source": CORPUS_STATS_SQL,
     "unigram_surprisal": UNIGRAM_SURPRISAL_SQL,
     "curated_corpus": CURATED_CORPUS_SQL,
+    "dsir_importance": DSIR_SQL,
 }

@@ -24,6 +24,8 @@ ROUND4_OPS = [
     "corpus_stats_by_source",
     "pack_sequences",
     "unigram_surprisal",
+    "curated_corpus",
+    "dsir_importance",
 ]
 
 
