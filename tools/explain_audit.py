@@ -122,6 +122,11 @@ AUDITS: dict[str, list[tuple[str, str]]] = {
         ("lang gate pushed to scan", "EqualTo(lang,en)"),
         ("dedup keeper partial agg", "HashAggregate"),
     ],
+    "dsir_importance": [
+        # source split pushed to both LM branches' scans
+        ("corpus/target split pushed to scan", "EqualTo(source,src0)"),
+        ("vocab + per-doc partial aggs", "HashAggregate"),
+    ],
     "ivf_query_topk_indexed": [
         # the candidate read prunes to the probed posting-list
         # partitions AT THE SCAN — nprobe/k of the index's files
