@@ -127,6 +127,10 @@ AUDITS: dict[str, list[tuple[str, str]]] = {
         ("corpus/target split pushed to scan", "EqualTo(source,src0)"),
         ("vocab + per-doc partial aggs", "HashAggregate"),
     ],
+    "pii_redaction": [
+        # regexp scrub is row-local: only the 2 needed columns scanned
+        ("column pruning", "ReadSchema: struct<doc_id:bigint,text:string>"),
+    ],
     "ivf_query_topk_indexed": [
         # the candidate read prunes to the probed posting-list
         # partitions AT THE SCAN — nprobe/k of the index's files
@@ -159,6 +163,12 @@ COUNT_AUDITS: dict[str, list[tuple[str, str, int]]] = {
     # both aggs (vocab tf, per-doc surprisal sum) have fixed-width
     # buffers — neither may fall back to sort-based aggregation
     "unigram_surprisal": [("no sort-based agg", "SortAggregate", 0)],
+    # the PII scrub is a pure row-local regexp pass: map-only end to
+    # end, one scan of documents
+    "pii_redaction": [
+        ("zero shuffle (map-only)", "Exchange", 0),
+        ("single documents scan", "Scan parquet", 2),
+    ],
 }
 
 FORBIDDEN = ["CartesianProduct"]
