@@ -61,15 +61,28 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
+# Queries with multiple driver-green rounds (r1-r3) rotated past the
+# 50-entry cap to free in-cap slots for round-4-new queries
+# (pii_redaction, semdedup_prune) that have never been driver-attested.
+_ROTATE_PAST_CAP = ["rating_domain_validation"]
+
+
+def _rotated(d: dict) -> dict:
+    for name in _ROTATE_PAST_CAP:
+        if name in d:
+            d[name] = d.pop(name)
+    return d
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for mod in _MODULES:
         out.update(mod.QUERIES)
-    return out
+    return _rotated(out)
 
 
 def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
     for mod in _MODULES:
         out.update(mod.ORACLES)
-    return out
+    return _rotated(out)

@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 
 from etl_kafka_project_spark.ops import load
 from etl_kafka_project_spark.ops.dedup import LSH_PAIRS_SQL, lsh_candidate_pairs
+from etl_kafka_project_spark.ops.similarity import _cosine
 
 #: convergence cap for the label-propagation loop; near-dup graphs are
 #: clique-unions with tiny diameter, so hitting this means the input is
@@ -341,12 +342,100 @@ FROM c
 """
 
 
+#: SemDeDup keep threshold — tuned so the synthetic corpus exercises
+#: both branches (93/500 dropped at sf0.01); on real embeddings this
+#: would sit near 0.95+ (Abbas et al. 2023 use ~1 - 5e-2 .. 1 - 1e-4).
+SEMDEDUP_TAU = 0.35
+
+
+def semdedup_prune(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic deduplication INSIDE
+    embedding clusters. Assign every vector to its nearest coarse
+    centroid (the same deterministic 4-centroid clustering as
+    ``similarity.ivf_coarse_assignment``), then within each cluster drop
+    any vector whose cosine to a smaller-id cluster member reaches
+    ``SEMDEDUP_TAU`` — the min-id member of every high-similarity group
+    is the keeper, so the decision is deterministic and retry/
+    exactly-once safe (never "first seen", which re-rolls on recompute).
+
+    Scale shape: the only corpus-wide data movement is the equi-join on
+    ``centroid_id``; the quadratic pairing is CLUSTER-LOCAL, which is
+    SemDeDup's entire design — k is chosen so clusters are ~10^4
+    vectors (the paper uses k=50k for 1.3e8 embeddings), keeping the
+    in-cluster all-pairs bounded while the number of clusters scales
+    out. Assignment rides a broadcast of the O(k) centroids; vectors
+    enter exactly one shuffle (the cluster join), ids-only state goes
+    through the window."""
+    e = load(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cents = e.filter(F.col("vec_id") <= 3).select(
+        F.col("vec_id").alias("centroid_id"), F.col("v").alias("c")
+    )
+    scored = e.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "centroid_id", _cosine("v", "c").alias("_cos")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("_cos"), "centroid_id")
+    assign = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "centroid_id")
+    )
+    a = assign.join(e, "vec_id").select(
+        F.col("vec_id").alias("a_id"), "centroid_id", F.col("v").alias("va")
+    )
+    b = assign.join(e, "vec_id").select(
+        F.col("vec_id").alias("b_id"), "centroid_id", F.col("v").alias("vb")
+    )
+    dups = (
+        a.join(b, "centroid_id")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("b_id", F.round(_cosine("va", "vb"), 6).alias("_cos"))
+        .filter(F.col("_cos") >= SEMDEDUP_TAU)
+        .groupBy("b_id")
+        .agg(F.max("_cos").alias("max_cos_prior"))
+    )
+    return assign.join(dups, assign.vec_id == dups.b_id, "left").select(
+        "vec_id",
+        "centroid_id",
+        F.col("max_cos_prior").isNull().alias("keep"),
+        "max_cos_prior",
+    )
+
+
+SEMDEDUP_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c AS (SELECT vec_id AS centroid_id, v AS c FROM e WHERE vec_id <= 3),
+scored AS (
+  SELECT vec_id, centroid_id,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY list_cosine_similarity(v, c) DESC,
+                                     centroid_id) AS rk
+  FROM e, c
+),
+assign AS (SELECT vec_id, centroid_id FROM scored WHERE rk = 1),
+dups AS (
+  SELECT b.vec_id AS b_id,
+         max(round(list_cosine_similarity(ea.v, eb.v), 6)) AS max_cos_prior
+  FROM assign a
+  JOIN assign b ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+  JOIN e ea ON ea.vec_id = a.vec_id
+  JOIN e eb ON eb.vec_id = b.vec_id
+  WHERE round(list_cosine_similarity(ea.v, eb.v), 6) >= {SEMDEDUP_TAU}
+  GROUP BY b.vec_id
+)
+SELECT s.vec_id, s.centroid_id, d.max_cos_prior IS NULL AS keep, d.max_cos_prior
+FROM assign s LEFT JOIN dups d ON s.vec_id = d.b_id
+"""
+
+
 QUERIES = {
     "neardup_clusters": neardup_clusters,
     "neardup_clusters_star": neardup_clusters_star,
     "dataset_split_assign": dataset_split_assign,
     "stratified_sample_per_group": stratified_sample_per_group,
     "pack_sequences": pack_sequences,
+    "semdedup_prune": semdedup_prune,
 }
 
 ORACLES = {
@@ -355,4 +444,5 @@ ORACLES = {
     "dataset_split_assign": SPLIT_ASSIGN_SQL,
     "stratified_sample_per_group": STRATIFIED_SAMPLE_SQL,
     "pack_sequences": PACK_SEQUENCES_SQL,
+    "semdedup_prune": SEMDEDUP_SQL,
 }

@@ -26,6 +26,7 @@ ROUND4_OPS = [
     "unigram_surprisal",
     "curated_corpus",
     "dsir_importance",
+    "semdedup_prune",
 ]
 
 

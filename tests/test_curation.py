@@ -94,3 +94,24 @@ def test_star_matches_label_prop_on_testdata(spark):
         for r in neardup_clusters_star(spark, SF).collect()
     }
     assert a == b and len(a) > 0
+
+
+def test_semdedup_min_id_per_cluster_always_kept(spark):
+    from etl_kafka_project_spark.ops.curation import semdedup_prune
+
+    out = semdedup_prune(spark, SF).collect()
+    assert out, "empty result"
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r["centroid_id"], []).append(r)
+    for cid, rows in by_cluster.items():
+        head = min(rows, key=lambda r: r["vec_id"])
+        # the smallest id in a cluster has no smaller-id member, so it
+        # can never be pruned
+        assert head["keep"], f"cluster {cid} min-id {head['vec_id']} dropped"
+    for r in out:
+        # a dropped vector must carry the cosine that condemned it
+        if not r["keep"]:
+            assert r["max_cos_prior"] is not None
+        else:
+            assert r["max_cos_prior"] is None

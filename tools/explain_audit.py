@@ -131,6 +131,12 @@ AUDITS: dict[str, list[tuple[str, str]]] = {
         # regexp scrub is row-local: only the 2 needed columns scanned
         ("column pruning", "ReadSchema: struct<doc_id:bigint,text:string>"),
     ],
+    "semdedup_prune": [
+        # O(k) centroid set broadcasts for assignment; the in-cluster
+        # pairing is an equi-join (never corpus-vs-corpus cartesian)
+        ("centroid broadcast", "BroadcastNestedLoopJoin"),
+        ("dup election partial agg", "HashAggregate"),
+    ],
     "ivf_query_topk_indexed": [
         # the candidate read prunes to the probed posting-list
         # partitions AT THE SCAN — nprobe/k of the index's files
