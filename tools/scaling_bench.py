@@ -439,6 +439,15 @@ dominated — below the single-host memory ceiling, so it measures the
 ENGINE's scaling rather than the host bus). The host is shared and
 noisy: each level ran multiple interleaved trials behind a load gate;
 the MINIMUM (least-contended) wall is scored; every trial is listed.
+
+Round-4 engine deltas visible in `bench.py` (sf0.1, local[32]): the
+fused single-aggregation fold + zstd shuffle codec took plain replay
+from 21,908 to ~86,600 ev/s, and scoping the watermarked cross-epoch
+dedup to events at-or-below the committed high-water mark (instead of
+shuffling every event through `dropDuplicatesWithinWatermark` state)
+took the watermarked variant from 6,094 to ~93,400 ev/s — exactly-once
+WITH the watermark guard now runs at parity with plain replay
+(test_watermarked_cross_epoch_dedup still pins the dedup semantics).
 """
     control = None
     ctrl_path = os.path.join(REPO, "BENCH", "control.json")
