@@ -63,15 +63,20 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # Queries with multiple driver-green rounds (r1-r3) rotated past the
 # 50-entry cap to free in-cap slots for round-4-new queries
-# (pii_redaction, semdedup_prune) that have never been driver-attested.
-_ROTATE_PAST_CAP = ["rating_domain_validation"]
+# (pii_redaction, semdedup_prune, exact_substring_dup) that have never
+# been driver-attested; the new dedup-module query is promoted to the
+# front because its module sorts past the cap.
+_ROTATE_PAST_CAP = ["rating_domain_validation", "orders_by_year"]
+_PROMOTE_INTO_CAP = ["exact_substring_dup"]
 
 
 def _rotated(d: dict) -> dict:
     for name in _ROTATE_PAST_CAP:
         if name in d:
             d[name] = d.pop(name)
-    return d
+    promoted = {n: d.pop(n) for n in _PROMOTE_INTO_CAP if n in d}
+    promoted.update(d)
+    return promoted
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

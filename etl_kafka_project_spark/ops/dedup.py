@@ -416,6 +416,86 @@ FROM m a JOIN m b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 """
 
 
+#: span width (words) for the exact-substring pass. Lee et al. 2022 use
+#: 50 BPE tokens; the synthetic corpus's planted near-dups share much
+#: shorter runs, so 8 keeps both branches populated at test scale.
+SUBSTR_K = 8
+
+
+def exact_substring_dup(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact-substring duplication (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better" — ExactSubstr), relaxed
+    from suffix arrays to Spark-native fixed-``K``-word span hashing:
+    a span duplicated verbatim in ≥2 documents marks copied text that
+    MinHash's whole-document similarity misses (e.g. a license header
+    pasted into otherwise-distinct files). Emits per document its span
+    count, how many of its spans are corpus-duplicated, and the
+    duplicated fraction.
+
+    Scale shape: ONE corpus scan, three narrow shuffles. Tokenize +
+    hash once (32-hex md5 keys shuffle, never the 8-word strings), then
+    (1) ``groupBy(h, doc_id)`` two-phase occurrence count, (2) the
+    ≥2-docs test as a window count over ``h`` on the already-collapsed
+    (hash, doc) rows, (3) ``groupBy(doc_id)`` conditional-sum rollup.
+    The naive three-branch form (dup-set + total + join-back, each a
+    separate consumer of the aggregate) re-scans and re-tokenizes the
+    corpus three times — Catalyst plans no ReusedExchange across the
+    branches — so the single linear pipeline is the shape that survives
+    100 TB: scans dominate there, and this does exactly one. Nothing is
+    O(n²): a suffix array's arbitrary-length matches are traded for
+    fixed-K granularity so the whole pass is hash-partitioned."""
+    d = load(spark, sf, "documents").withColumn(
+        "_toks", F.split(F.lower("text"), " ")
+    )
+    spans = (
+        f"CASE WHEN size(_toks) >= {SUBSTR_K} THEN"
+        f" transform(sequence(1, size(_toks) - {SUBSTR_K - 1}),"
+        f"  i -> md5(concat_ws(' ', slice(_toks, i, {SUBSTR_K}))))"
+        " ELSE array(md5(lower(text))) END"
+    )
+    g = d.select("doc_id", F.explode(F.expr(spans)).alias("h"))
+    per_doc_h = g.groupBy("h", "doc_id").agg(F.count(F.lit(1)).alias("n_occ"))
+    n_docs = F.count(F.lit(1)).over(Window.partitionBy("h"))
+    flagged = per_doc_h.withColumn("_dup", n_docs >= 2)
+    out = flagged.groupBy("doc_id").agg(
+        F.sum("n_occ").alias("n_spans"),
+        F.sum(F.when(F.col("_dup"), F.col("n_occ")).otherwise(F.lit(0))).alias(
+            "n_dup_spans"
+        ),
+    )
+    frac = F.round(
+        F.col("n_dup_spans").cast("double") / F.col("n_spans").cast("double"), 6
+    )
+    return out.withColumn("dup_span_frac", frac).withColumn(
+        "near_exact_dup", F.col("dup_span_frac") >= 0.5
+    )
+
+
+EXACT_SUBSTR_SQL = f"""
+WITH toks AS (SELECT doc_id, text, string_split(lower(text), ' ') AS t FROM documents),
+g AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= {SUBSTR_K}
+              THEN md5(list_aggregate(t[i:i+{SUBSTR_K - 1}], 'string_agg', ' '))
+              ELSE md5(lower(text)) END AS h
+  FROM toks, unnest(range(1, greatest(len(t) - {SUBSTR_K - 2}, 2))) AS r(i)
+  WHERE len(t) >= {SUBSTR_K} OR i = 1
+),
+pdh AS (SELECT h, doc_id, count(*) AS n_occ FROM g GROUP BY h, doc_id),
+dup AS (SELECT h FROM pdh GROUP BY h HAVING count(*) >= 2),
+tot AS (SELECT doc_id, sum(n_occ) AS n_spans FROM pdh GROUP BY doc_id),
+dupc AS (SELECT doc_id, sum(n_occ) AS n_dup_spans
+         FROM pdh JOIN dup USING (h) GROUP BY doc_id)
+SELECT t.doc_id, CAST(t.n_spans AS BIGINT) AS n_spans,
+       CAST(coalesce(d.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+       round(CAST(coalesce(d.n_dup_spans, 0) AS DOUBLE)
+             / CAST(t.n_spans AS DOUBLE), 6) AS dup_span_frac,
+       round(CAST(coalesce(d.n_dup_spans, 0) AS DOUBLE)
+             / CAST(t.n_spans AS DOUBLE), 6) >= 0.5 AS near_exact_dup
+FROM tot t LEFT JOIN dupc d USING (doc_id)
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "minhash_signatures": minhash_signatures,
@@ -425,6 +505,7 @@ QUERIES = {
     "ngram_jaccard_adjacent": ngram_jaccard_adjacent,
     "embedding_neardup_adjacent": embedding_neardup_adjacent,
     "embedding_lsh_neardup": embedding_lsh_neardup,
+    "exact_substring_dup": exact_substring_dup,
 }
 
 ORACLES = {
@@ -436,4 +517,5 @@ ORACLES = {
     "ngram_jaccard_adjacent": JACCARD_SQL,
     "embedding_neardup_adjacent": EMB_NEARDUP_SQL,
     "embedding_lsh_neardup": _emb_lsh_sql(),
+    "exact_substring_dup": EXACT_SUBSTR_SQL,
 }

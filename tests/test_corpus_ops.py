@@ -27,6 +27,7 @@ ROUND4_OPS = [
     "curated_corpus",
     "dsir_importance",
     "semdedup_prune",
+    "exact_substring_dup",
 ]
 
 

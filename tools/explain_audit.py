@@ -131,6 +131,10 @@ AUDITS: dict[str, list[tuple[str, str]]] = {
         # regexp scrub is row-local: only the 2 needed columns scanned
         ("column pruning", "ReadSchema: struct<doc_id:bigint,text:string>"),
     ],
+    "exact_substring_dup": [
+        ("two-phase span-hash agg", "HashAggregate"),
+        ("per-span dup test via window", "Window"),
+    ],
     "semdedup_prune": [
         # O(k) centroid set broadcasts for assignment; the in-cluster
         # pairing is an equi-join (never corpus-vs-corpus cartesian)
@@ -174,6 +178,12 @@ COUNT_AUDITS: dict[str, list[tuple[str, str, int]]] = {
     "pii_redaction": [
         ("zero shuffle (map-only)", "Exchange", 0),
         ("single documents scan", "Scan parquet", 2),
+    ],
+    # the corpus is tokenized + hashed exactly once; the dup test and
+    # rollup ride narrow hash rows (the 3-branch form scanned 3x)
+    "exact_substring_dup": [
+        ("single documents scan", "Scan parquet", 2),
+        ("no sort-based agg", "SortAggregate", 0),
     ],
 }
 
