@@ -500,6 +500,7 @@ criterion ladder had to run behind the membw gate:
 | r4 re-run of the 4->16 pair (fused fold + zstd engine) | 4 -> 16 | 0.704 full / 0.74 sustained | 0.633 (paired, duration-matched) | **1.11** |
 | r4 second independent 4->16 campaign (4 trials, membw-gated) | 4 -> 16 | **0.704 full (exact reproduction) / 0.755 sustained** | 0.705 (paired, duration-matched) | 1.00 |
 | r4 second 2->8 campaign, mixed noise (loads 0.1-2.0 mid-trial; `BENCH/archive/*-2to8-r4-repro2.json`) | 2 -> 8 | 0.739 full / 0.782 sustained | 0.903 (paired, duration-matched) | 0.82 |
+| r4 third 2->8 campaign, window turned noisy mid-run (loads 2.6-5.1 between trials, membw probe dipped to 3.44 GB/s; `BENCH/archive/*-2to8-r4-repro3.json`) | 2 -> 8 | 0.654 full / 0.728 sustained | 0.614 (paired, duration-matched) | **1.07** |
 | r3 morning, moderate noise | 4 -> 16 | 0.552 full / 0.699 sustained | 0.71 (short-run, biased HIGH) | 0.78 |
 | r3 evening, bus-starved (`BENCH/archive/*-1825-starved.json`) | 4 -> 16 | 0.308 | **0.20** (duration-matched, 190M rows) | **1.54** |
 | r3 night, bus-starved (archived) | 2 -> 8 | 0.614 full / 0.591 sustained | — (controls dropped for trial cadence) | — |
