@@ -516,6 +516,13 @@ aggregation: the absolute shortfall is the host, not the engine. The
 engine's own scaling headroom is also measured component-wise on static
 batches (noop sink, quiet morning): full fold 0.787, wide max_by
 aggregate 0.778, narrow applied path 0.864 at 4 -> 16.
+
+Across the five round-4 paired campaigns the engine scaled at or above
+its same-window engine-free ceiling in four (engine-relative 1.18,
+1.11, 1.07, 1.00; the fifth, mixed-noise repro2, read 0.82), and the
+one gated quiet window produced the >= 0.8 absolute pass. The pattern
+is stable: absolute efficiency tracks the host's hour-scale bandwidth
+regime; engine-relative efficiency does not drop below ~1.0 outside it.
 """
 
     for s in ladders:
