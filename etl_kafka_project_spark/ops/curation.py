@@ -347,21 +347,34 @@ FROM c
 #: would sit near 0.95+ (Abbas et al. 2023 use ~1 - 5e-2 .. 1 - 1e-4).
 SEMDEDUP_TAU = 0.35
 
+#: Default centroid count at fixture scale. The paper uses k=50k for
+#: 1.3e8 embeddings (~10^4 vectors per cluster); k is a PARAMETER of
+#: ``semdedup_prune`` / ``semdedup_sql`` and must grow with the corpus
+#: so the in-cluster quadratic stays bounded.
+SEMDEDUP_K = 4
 
-def semdedup_prune(spark: SparkSession, sf: str) -> DataFrame:
+
+def semdedup_prune(spark: SparkSession, sf: str, k: int = SEMDEDUP_K) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): semantic deduplication INSIDE
-    embedding clusters. Assign every vector to its nearest coarse
-    centroid (the same deterministic 4-centroid clustering as
-    ``similarity.ivf_coarse_assignment``), then within each cluster drop
-    any vector whose cosine to a smaller-id cluster member reaches
-    ``SEMDEDUP_TAU`` — the min-id member of every high-similarity group
-    is the keeper, so the decision is deterministic and retry/
-    exactly-once safe (never "first seen", which re-rolls on recompute).
+    embedding clusters. Elect ``k`` coarse centroids by a seeded
+    deterministic draw (the k vectors ranking first by
+    ``md5('cent:' || vec_id)`` — a reproducible pseudo-random sample, in
+    place of the paper's k-means, so the DuckDB oracle can mirror it
+    exactly), assign every vector to its nearest centroid by cosine,
+    then within each cluster drop any vector whose cosine to a
+    smaller-id cluster member reaches ``SEMDEDUP_TAU`` — the min-id
+    member of every high-similarity group is the keeper, so the decision
+    is deterministic and retry/exactly-once safe (never "first seen",
+    which re-rolls on recompute). The nearest-centroid ordering uses the
+    cosine ROUNDED to 6dp (the same quantization the prune threshold
+    uses) so a near-tie between two centroids cannot flip across
+    engines' float-summation orders.
 
-    Scale shape: the only corpus-wide data movement is the equi-join on
-    ``centroid_id``; the quadratic pairing is CLUSTER-LOCAL, which is
-    SemDeDup's entire design — k is chosen so clusters are ~10^4
-    vectors (the paper uses k=50k for 1.3e8 embeddings), keeping the
+    Scale shape: centroid election is a distributed top-k
+    (TakeOrdered on k rows — never a global window); the only
+    corpus-wide data movement is the equi-join on ``centroid_id``; the
+    quadratic pairing is CLUSTER-LOCAL, which is SemDeDup's entire
+    design — k is chosen so clusters are ~10^4 vectors, keeping the
     in-cluster all-pairs bounded while the number of clusters scales
     out. Assignment rides a broadcast of the O(k) centroids; vectors
     enter exactly one shuffle (the cluster join), ids-only state goes
@@ -369,11 +382,16 @@ def semdedup_prune(spark: SparkSession, sf: str) -> DataFrame:
     e = load(spark, sf, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    cents = e.filter(F.col("vec_id") <= 3).select(
-        F.col("vec_id").alias("centroid_id"), F.col("v").alias("c")
+    cent_key = F.md5(F.concat(F.lit("cent:"), F.col("vec_id").cast("string")))
+    cents = (
+        e.select(F.col("vec_id").alias("centroid_id"), F.col("v").alias("c"),
+                 cent_key.alias("_ck"))
+        .orderBy("_ck", "centroid_id")
+        .limit(k)
+        .drop("_ck")
     )
     scored = e.crossJoin(F.broadcast(cents)).select(
-        "vec_id", "centroid_id", _cosine("v", "c").alias("_cos")
+        "vec_id", "centroid_id", F.round(_cosine("v", "c"), 6).alias("_cos")
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("_cos"), "centroid_id")
     assign = (
@@ -403,13 +421,17 @@ def semdedup_prune(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-SEMDEDUP_SQL = f"""
+def semdedup_sql(k: int = SEMDEDUP_K) -> str:
+    """DuckDB oracle twin of ``semdedup_prune`` at the same ``k`` —
+    identical seeded centroid draw, identical 6dp-rounded assignment."""
+    return f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-c AS (SELECT vec_id AS centroid_id, v AS c FROM e WHERE vec_id <= 3),
+c AS (SELECT vec_id AS centroid_id, v AS c FROM e
+      ORDER BY md5('cent:' || CAST(vec_id AS VARCHAR)), vec_id LIMIT {k}),
 scored AS (
   SELECT vec_id, centroid_id,
          row_number() OVER (PARTITION BY vec_id
-                            ORDER BY list_cosine_similarity(v, c) DESC,
+                            ORDER BY round(list_cosine_similarity(v, c), 6) DESC,
                                      centroid_id) AS rk
   FROM e, c
 ),
@@ -427,6 +449,9 @@ dups AS (
 SELECT s.vec_id, s.centroid_id, d.max_cos_prior IS NULL AS keep, d.max_cos_prior
 FROM assign s LEFT JOIN dups d ON s.vec_id = d.b_id
 """
+
+
+SEMDEDUP_SQL = semdedup_sql()
 
 
 QUERIES = {

@@ -548,17 +548,17 @@ def unigram_surprisal(spark: SparkSession, sf: str) -> DataFrame:
     single-op ``ln`` per vocab row, at 1e-4 quantization.
 
     Scale shape: vocab = one token-keyed partial-aggregated groupBy
-    (O(vocabulary) output); the corpus total rides a window over that
-    tiny aggregate (single reducer over O(vocab) rows — never a second
-    pass over tokens, never a driver-side literal); scoring is one
-    shuffle join of tokens against the vocab (vocab is broadcast-able
-    at real scale) + one partial-aggregated groupBy(doc_id)."""
+    (O(vocabulary) output); the corpus total is a partial-aggregated
+    ``agg`` over that aggregate broadcast back as a one-row crossJoin —
+    no row ever funnels through a single-partition window, so the stage
+    parallelizes even when the vocabulary itself is web-scale
+    (O(10⁸-10⁹) distinct tokens); scoring is one shuffle join of tokens
+    against the vocab (vocab is broadcast-able at real scale) + one
+    partial-aggregated groupBy(doc_id)."""
     d = load(spark, sf, "documents")
     tok = d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok"))
     vocab = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("tf"))
-    vocab = vocab.withColumn(
-        "total", F.sum("tf").over(Window.partitionBy(F.lit(1)))
-    )
+    vocab = vocab.crossJoin(F.broadcast(vocab.agg(F.sum("tf").alias("total"))))
     surprisal = F.round(
         -F.log(F.col("tf").cast("double") / F.col("total").cast("double")) * 10000
     ).cast("long")
@@ -618,8 +618,11 @@ def dsir_importance(spark: SparkSession, sf: str) -> DataFrame:
 
     Scale shape: two token-keyed partial-aggregated groupBys (corpus
     vocab, target vocab — the target is small by construction), scalar
-    totals via windows over the O(vocab) aggregate, one shuffle join of
-    corpus tokens against the scored vocab, one groupBy(doc_id)."""
+    totals via a partial-aggregated ``agg`` over the O(vocab) aggregate
+    broadcast back as a one-row crossJoin (no single-partition window —
+    the stage stays parallel at web-scale vocabularies), one shuffle
+    join of corpus tokens against the scored vocab, one
+    groupBy(doc_id)."""
     d = load(spark, sf, "documents")
     tok = d.select(
         "doc_id", "source", F.explode(F.split(F.lower("text"), " ")).alias("tok")
@@ -628,14 +631,13 @@ def dsir_importance(spark: SparkSession, sf: str) -> DataFrame:
     tgt = tok.filter(F.col("source") == "src0")
     vc = cor.groupBy("tok").agg(F.count(F.lit(1)).alias("tf_cor"))
     vt = tgt.groupBy("tok").agg(F.count(F.lit(1)).alias("tf_tgt"))
-    w0 = Window.partitionBy(F.lit(1))
-    vocab = (
-        vc.join(vt, "tok", "left")
-        .fillna({"tf_tgt": 0})
-        .withColumn("total_cor", F.sum("tf_cor").over(w0))
-        .withColumn("total_tgt", F.sum("tf_tgt").over(w0))
-        .withColumn("vsize", F.count(F.lit(1)).over(w0))
+    joined = vc.join(vt, "tok", "left").fillna({"tf_tgt": 0})
+    totals = joined.agg(
+        F.sum("tf_cor").alias("total_cor"),
+        F.sum("tf_tgt").alias("total_tgt"),
+        F.count(F.lit(1)).alias("vsize"),
     )
+    vocab = joined.crossJoin(F.broadcast(totals))
     log_ratio = F.round(
         (
             F.log(
@@ -757,10 +759,11 @@ PII_PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
 PII_IP_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
 
 #: Deterministic PII fixture: the synthetic corpus contains no PII, so
-#: both sides append doc_id-keyed email/phone/IP strings to a subset of
-#: rows BEFORE scrubbing. This is test-fixture augmentation (exactly
-#: reproducible, identical expression in Spark and SQL), not operator
-#: logic — on real data the operator runs on ``text`` directly.
+#: the ORACLE QUERY (not the operator — see ``redact_pii``) appends
+#: doc_id-keyed email/phone/IP strings to a subset of rows before
+#: scrubbing. This is test-fixture augmentation (exactly reproducible,
+#: identical expression in Spark and SQL), kept strictly outside the
+#: operator so a real corpus is never polluted with PII-shaped strings.
 _PII_AUGMENT_SQL = (
     "text"
     " || CASE WHEN doc_id % 5 = 0 THEN ' contact user' || CAST(doc_id AS STRING)"
@@ -771,23 +774,31 @@ _PII_AUGMENT_SQL = (
 )
 
 
-def pii_redaction(spark: SparkSession, sf: str) -> DataFrame:
-    """PII scrub: count and redact emails, phone numbers, and IPv4
-    addresses per document — the privacy pass every public-web
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII scrub OPERATOR: count and redact emails, phone numbers, and
+    IPv4 addresses in ``text_col`` — the privacy pass every public-web
     pretraining pipeline runs before tokenization (C4 / Gopher / RefinedWeb
-    all ship a regex-redaction stage of exactly this shape).
+    all ship a regex-redaction stage of exactly this shape). Operates on
+    the given column of ANY DataFrame — no fixture logic lives here; the
+    registered query (``pii_redaction``) augments the PII-free synthetic
+    corpus separately, as a test fixture.
+
+    Returns the input columns plus ``n_emails``/``n_phones``/``n_ips``
+    (match counts against the ORIGINAL text), ``has_pii``, and
+    ``redacted_text``.
 
     Scale shape: ZERO shuffle — counts (``regexp_count``) and the chained
     ``regexp_replace`` redaction are row-local JVM built-ins inside one
     whole-stage-codegen map over the scan; at 100 TB this is a pure
-    pass-through stream. The redacted text is emitted as its sha256 so
-    the invariant (redaction output byte-equality) is checkable without
-    hauling full text through the comparator. Replacement order is
-    email → phone → IP: the patterns are mutually non-overlapping
-    (email needs '@', phone hyphens, IP dots-only), so the chain is
-    order-insensitive, but it is pinned anyway for determinism."""
-    d = load(spark, sf, "documents").withColumn("_pii_text", F.expr(_PII_AUGMENT_SQL))
-    t = F.col("_pii_text")
+    pass-through stream. Replacement order is email → phone → IP and is
+    LOAD-BEARING: the patterns can overlap (a phone number inside an
+    email local part, '555-123-4567@example.com', matches both the phone
+    regex — \\b holds at '@' — and the email regex), so reordering the
+    chain changes the redacted bytes, and the per-pattern counts are
+    occurrences in the ORIGINAL text, which an earlier replacement in
+    the chain may consume. Both engines pin the same order, so the
+    output is deterministic and cross-engine equal."""
+    t = F.col(text_col)
     redacted = F.regexp_replace(
         F.regexp_replace(
             F.regexp_replace(t, F.lit(PII_EMAIL_RE), F.lit("<EMAIL>")),
@@ -797,18 +808,35 @@ def pii_redaction(spark: SparkSession, sf: str) -> DataFrame:
         F.lit(PII_IP_RE),
         F.lit("<IP>"),
     )
-    return d.select(
+    n_emails = F.regexp_count(t, F.lit(PII_EMAIL_RE))
+    n_phones = F.regexp_count(t, F.lit(PII_PHONE_RE))
+    n_ips = F.regexp_count(t, F.lit(PII_IP_RE))
+    return df.select(
+        "*",
+        n_emails.alias("n_emails"),
+        n_phones.alias("n_phones"),
+        n_ips.alias("n_ips"),
+        (n_emails + n_phones + n_ips > 0).alias("has_pii"),
+        redacted.alias("redacted_text"),
+    )
+
+
+def pii_redaction(spark: SparkSession, sf: str) -> DataFrame:
+    """Registered oracle query: the synthetic corpus contains no PII, so
+    this wrapper first applies the deterministic doc_id-keyed fixture
+    augmentation (``_PII_AUGMENT_SQL`` — mirrored verbatim in the DuckDB
+    oracle), then runs the real operator ``redact_pii`` on the augmented
+    column and hashes the redacted text so byte-equality is checkable
+    without hauling full text through the comparator."""
+    d = load(spark, sf, "documents").withColumn("_pii_text", F.expr(_PII_AUGMENT_SQL))
+    r = redact_pii(d, "_pii_text")
+    return r.select(
         "doc_id",
-        F.regexp_count(t, F.lit(PII_EMAIL_RE)).alias("n_emails"),
-        F.regexp_count(t, F.lit(PII_PHONE_RE)).alias("n_phones"),
-        F.regexp_count(t, F.lit(PII_IP_RE)).alias("n_ips"),
-        (
-            F.regexp_count(t, F.lit(PII_EMAIL_RE))
-            + F.regexp_count(t, F.lit(PII_PHONE_RE))
-            + F.regexp_count(t, F.lit(PII_IP_RE))
-            > 0
-        ).alias("has_pii"),
-        F.sha2(redacted, 256).alias("redacted_sha256"),
+        "n_emails",
+        "n_phones",
+        "n_ips",
+        "has_pii",
+        F.sha2("redacted_text", 256).alias("redacted_sha256"),
     )
 
 

@@ -66,3 +66,47 @@ def test_shuffle_width_independent(spark):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", original)
     assert seen[0] == seen[1]
+
+
+def test_operator_runs_on_raw_text_without_fixture(spark):
+    """ADVICE round-4 item: the OPERATOR must not fuse the synthetic
+    fixture. redact_pii over the raw corpus column injects nothing —
+    the clean corpus has zero PII and the redacted text is byte-equal
+    to the input."""
+    from etl_kafka_project_spark.ops.text import redact_pii
+
+    d = load(spark, SF, "documents").select("doc_id", "text")
+    out = redact_pii(d, "text")
+    agg = out.agg(
+        F.sum("n_emails").alias("e"),
+        F.sum("n_phones").alias("p"),
+        F.sum("n_ips").alias("i"),
+        F.sum(F.when(F.col("redacted_text") != F.col("text"), 1).otherwise(0)).alias(
+            "changed"
+        ),
+    ).collect()[0]
+    assert (agg["e"], agg["p"], agg["i"], agg["changed"]) == (0, 0, 0, 0)
+
+
+def test_operator_redacts_real_pii_strings(spark):
+    from etl_kafka_project_spark.ops.text import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (0, "mail me at jane.doe+x@example.org or call 555-867-5309"),
+            (1, "server at 192.168.1.17 is fine"),
+            (2, "overlap case: 555-123-4567@example.com"),
+            (3, "nothing here"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in redact_pii(df, "text").collect()}
+    assert rows[0]["n_emails"] == 1 and rows[0]["n_phones"] == 1
+    assert "<EMAIL>" in rows[0]["redacted_text"] and "<PHONE>" in rows[0]["redacted_text"]
+    assert rows[1]["n_ips"] == 1 and "<IP>" in rows[1]["redacted_text"]
+    # counts are against the ORIGINAL text: the phone-inside-email case
+    # counts both, but the email replacement (first in the chain)
+    # consumes the phone digits — order is load-bearing and pinned
+    assert rows[2]["n_emails"] == 1 and rows[2]["n_phones"] == 1
+    assert rows[2]["redacted_text"] == "overlap case: <EMAIL>"
+    assert not rows[3]["has_pii"] and rows[3]["redacted_text"] == "nothing here"

@@ -171,8 +171,19 @@ COUNT_AUDITS: dict[str, list[tuple[str, str, int]]] = {
     # shared shuffle printed in tree + detail sections)
     "corpus_stats_by_source": [("single documents scan", "Scan parquet", 2)],
     # both aggs (vocab tf, per-doc surprisal sum) have fixed-width
-    # buffers — neither may fall back to sort-based aggregation
-    "unigram_surprisal": [("no sort-based agg", "SortAggregate", 0)],
+    # buffers — neither may fall back to sort-based aggregation; the
+    # corpus total must be an agg+broadcast, never a single-partition
+    # window funneling every vocab row through one reducer (the one
+    # remaining SinglePartition exchange carries O(#partitions) partial
+    # agg rows, not the vocab)
+    "unigram_surprisal": [
+        ("no sort-based agg", "SortAggregate", 0),
+        ("no single-partition window over vocab", "Window", 0),
+    ],
+    "dsir_importance": [
+        ("no sort-based agg", "SortAggregate", 0),
+        ("no single-partition window over vocab", "Window", 0),
+    ],
     # the PII scrub is a pure row-local regexp pass: map-only end to
     # end, one scan of documents
     "pii_redaction": [
