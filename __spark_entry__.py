@@ -28,14 +28,17 @@ from etl_kafka_project_spark.ops import similarity as _similarity
 from etl_kafka_project_spark.ops import text as _text
 
 # Order matters: the driver's CORRECTNESS harness records at most the
-# first 50 of the 67 registered queries.  Modules whose queries have the
-# fewest driver-green rounds sort FIRST (curation/analytics had never
-# been driver-attested through round 3; round 4 added seven queries inside the cap
-# — repetition_top_bigram, decontamination_overlap,
-# corpus_stats_by_source, pack_sequences, unigram_surprisal,
-# curated_corpus, dsir_importance);
-# similarity+multimodal and the tail of dedup (multiple green rounds
-# r1-r3) rotate past the cap this round.
+# first 50 of the 70+ registered queries.  Round-5 rotation (VERDICT #3):
+# promote the 20 queries absent from CORRECTNESS_r04 (the r1-r3-green
+# similarity/multimodal/dedup tail plus rating_domain_validation,
+# orders_by_year, doc_fingerprint) back inside the cap, plus any
+# round-5-new queries, so that by end of round 5 every registered query
+# has a driver-green row within the last two rounds.  The rotated-out
+# r4-green queries stay covered by the full-sweep test
+# (tests/test_entry_oracles.py::test_query_matches_oracle, parametrized
+# over EVERY registered oracle), which runs ALL registered queries
+# against their DuckDB oracles regardless of cap order — rotation can
+# never silently drop coverage.
 _MODULES = [
     _curation,
     _analytics,
@@ -61,19 +64,44 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
-# Queries with multiple driver-green rounds (r1-r3) rotated past the
-# 50-entry cap to free in-cap slots for round-4-new queries
-# (pii_redaction, semdedup_prune, exact_substring_dup) that have never
-# been driver-attested; the new dedup-module query is promoted to the
-# front because its module sorts past the cap.
-_ROTATE_PAST_CAP = ["rating_domain_validation", "orders_by_year"]
-_PROMOTE_INTO_CAP = ["exact_substring_dup"]
+# Round-5 promotion list: every query absent from CORRECTNESS_r04
+# (rotated past the cap in r4 after multiple r1-r3 green rounds), in
+# module order, followed by the round-5-new queries.  These sort FIRST
+# so the driver's 50-entry harness attests them this round; the 50
+# r4-green queries fill the remaining 30 in-cap slots in module order
+# and are additionally covered by tests/test_oracle_sweep.py.
+_PROMOTE_INTO_CAP = [
+    # absent from r4 — relational / text tail
+    "orders_by_year",
+    "rating_domain_validation",
+    "doc_fingerprint",
+    # absent from r4 — dedup tail
+    "dedup_exact",
+    "minhash_signatures",
+    "lsh_candidate_pairs",
+    "simhash",
+    "simhash_lsh_pairs",
+    "ngram_jaccard_adjacent",
+    "embedding_neardup_adjacent",
+    "embedding_lsh_neardup",
+    # absent from r4 — similarity
+    "ann_bruteforce_topk",
+    "ann_lsh_buckets",
+    "ivf_coarse_assignment",
+    "ivf_query_topk",
+    "ivf_query_topk_indexed",
+    # absent from r4 — multimodal
+    "multimodal_meta",
+    "multimodal_features",
+    "multimodal_frame_sample",
+    "multimodal_frame_sample_builtin",
+    # round-5-new queries (never driver-attested)
+    "exact_substring_spans",
+    "curated_corpus_packed",
+]
 
 
 def _rotated(d: dict) -> dict:
-    for name in _ROTATE_PAST_CAP:
-        if name in d:
-            d[name] = d.pop(name)
     promoted = {n: d.pop(n) for n in _PROMOTE_INTO_CAP if n in d}
     promoted.update(d)
     return promoted

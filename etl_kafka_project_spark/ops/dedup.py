@@ -416,13 +416,19 @@ FROM m a JOIN m b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 """
 
 
-#: span width (words) for the exact-substring pass. Lee et al. 2022 use
-#: 50 BPE tokens; the synthetic corpus's planted near-dups share much
-#: shorter runs, so 8 keeps both branches populated at test scale.
-SUBSTR_K = 8
+#: span width (words) for the exact-substring pass — the operator
+#: DEFAULT is the Lee-et-al-faithful 50 tokens (the paper's suffix-array
+#: match threshold).  ``K`` is a parameter of every exact-substring
+#: entry point; the REGISTERED fixture queries pin ``k=FIXTURE_SUBSTR_K``
+#: because the synthetic corpus's planted near-dups share much shorter
+#: runs, so 8 keeps both branches populated at test scale.
+SUBSTR_K = 50
+FIXTURE_SUBSTR_K = 8
 
 
-def exact_substring_dup(spark: SparkSession, sf: str) -> DataFrame:
+def exact_substring_dup(
+    spark: SparkSession, sf: str, k: int = SUBSTR_K
+) -> DataFrame:
     """Exact-substring duplication (Lee et al. 2022, "Deduplicating
     Training Data Makes Language Models Better" — ExactSubstr), relaxed
     from suffix arrays to Spark-native fixed-``K``-word span hashing:
@@ -448,9 +454,9 @@ def exact_substring_dup(spark: SparkSession, sf: str) -> DataFrame:
         "_toks", F.split(F.lower("text"), " ")
     )
     spans = (
-        f"CASE WHEN size(_toks) >= {SUBSTR_K} THEN"
-        f" transform(sequence(1, size(_toks) - {SUBSTR_K - 1}),"
-        f"  i -> md5(concat_ws(' ', slice(_toks, i, {SUBSTR_K}))))"
+        f"CASE WHEN size(_toks) >= {k} THEN"
+        f" transform(sequence(1, size(_toks) - {k - 1}),"
+        f"  i -> md5(concat_ws(' ', slice(_toks, i, {k}))))"
         " ELSE array(md5(lower(text))) END"
     )
     g = d.select("doc_id", F.explode(F.expr(spans)).alias("h"))
@@ -471,15 +477,17 @@ def exact_substring_dup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-EXACT_SUBSTR_SQL = f"""
+def exact_substr_sql(k: int = SUBSTR_K) -> str:
+    """DuckDB oracle twin of ``exact_substring_dup`` at the same ``k``."""
+    return f"""
 WITH toks AS (SELECT doc_id, text, string_split(lower(text), ' ') AS t FROM documents),
 g AS (
   SELECT doc_id,
-         CASE WHEN len(t) >= {SUBSTR_K}
-              THEN md5(list_aggregate(t[i:i+{SUBSTR_K - 1}], 'string_agg', ' '))
+         CASE WHEN len(t) >= {k}
+              THEN md5(list_aggregate(t[i:i+{k - 1}], 'string_agg', ' '))
               ELSE md5(lower(text)) END AS h
-  FROM toks, unnest(range(1, greatest(len(t) - {SUBSTR_K - 2}, 2))) AS r(i)
-  WHERE len(t) >= {SUBSTR_K} OR i = 1
+  FROM toks, unnest(range(1, greatest(len(t) - {k - 2}, 2))) AS r(i)
+  WHERE len(t) >= {k} OR i = 1
 ),
 pdh AS (SELECT h, doc_id, count(*) AS n_occ FROM g GROUP BY h, doc_id),
 dup AS (SELECT h FROM pdh GROUP BY h HAVING count(*) >= 2),
@@ -496,6 +504,138 @@ FROM tot t LEFT JOIN dupc d USING (doc_id)
 """
 
 
+EXACT_SUBSTR_SQL = exact_substr_sql(FIXTURE_SUBSTR_K)
+
+
+def _span_hashes_with_pos(df: DataFrame, k: int, text_col: str = "text"):
+    """Explode ``text_col`` into (pos, h) rows: ``pos`` is the 1-based
+    token index where a ``k``-token span starts, ``h`` its md5.  Docs
+    shorter than ``k`` tokens contribute one whole-doc hash at pos=1 —
+    the same convention as ``exact_substring_dup``.  Row-local: the only
+    shuffled payload downstream is the 32-hex hash + two ints."""
+    d = df.withColumn("_toks", F.split(F.lower(text_col), " "))
+    spans = (
+        f"CASE WHEN size(_toks) >= {k} THEN"
+        f" transform(sequence(1, size(_toks) - {k - 1}),"
+        f"  i -> struct(i AS pos, md5(concat_ws(' ', slice(_toks, i, {k}))) AS h))"
+        f" ELSE array(struct(1 AS pos, md5(lower({text_col})) AS h)) END"
+    )
+    return d.select(
+        "*", F.explode(F.expr(spans)).alias("_s")
+    ).select(*df.columns, F.col("_s.pos").alias("pos"), F.col("_s.h").alias("h"))
+
+
+def exact_substring_spans(
+    spark: SparkSession, sf: str, k: int = FIXTURE_SUBSTR_K
+) -> DataFrame:
+    """Positions of corpus-duplicated exact spans — the artifact Lee et
+    al.'s pipeline actually consumes: their ExactSubstr pass REMOVES the
+    duplicated bytes (keeping one occurrence), rather than dropping whole
+    documents, so the dup detector must emit WHERE each duplicate sits,
+    not just per-doc counts (`exact_substring_dup` is the rollup view of
+    the same spans).
+
+    Emits one row per occurrence of a span whose hash appears in ≥2
+    documents: (doc_id, pos [1-based token index], span_md5, n_docs,
+    is_keeper).  The keeper — the single occurrence spared by a removal
+    pass — is elected deterministically as the (min doc_id, min pos)
+    occurrence of each hash, the repo's standard min-id convention, so
+    retries and cross-engine runs agree.
+
+    Scale shape: one corpus scan; hashes + two ints shuffle, never text.
+    ``groupBy(h, doc_id)`` collapses per-doc occurrences (keeping each
+    doc's min pos per hash — position multiplicity inside one doc is
+    irrelevant to a remove-all-but-one pass and collapsing it bounds the
+    window input), then one window over ``h`` on the collapsed rows
+    computes n_docs and the keeper rank."""
+    d = load(spark, sf, "documents").select("doc_id", "text")
+    g = _span_hashes_with_pos(d, k).select("doc_id", "pos", "h")
+    per_doc = g.groupBy("h", "doc_id").agg(F.min("pos").alias("pos"))
+    w = Window.partitionBy("h")
+    wk = Window.partitionBy("h").orderBy("doc_id", "pos")
+    out = (
+        per_doc.withColumn("n_docs", F.count(F.lit(1)).over(w))
+        .withColumn("_rk", F.row_number().over(wk))
+        .filter(F.col("n_docs") >= 2)
+    )
+    return out.select(
+        "doc_id",
+        "pos",
+        F.col("h").alias("span_md5"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        (F.col("_rk") == 1).alias("is_keeper"),
+    )
+
+
+def exact_substr_spans_sql(k: int = FIXTURE_SUBSTR_K) -> str:
+    """DuckDB oracle twin of ``exact_substring_spans`` at the same ``k``."""
+    return f"""
+WITH toks AS (SELECT doc_id, text, string_split(lower(text), ' ') AS t FROM documents),
+g AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         CASE WHEN len(t) >= {k}
+              THEN md5(list_aggregate(t[i:i+{k - 1}], 'string_agg', ' '))
+              ELSE md5(lower(text)) END AS h
+  FROM toks, unnest(range(1, greatest(len(t) - {k - 2}, 2))) AS r(i)
+  WHERE len(t) >= {k} OR i = 1
+),
+pd AS (SELECT h, doc_id, min(pos) AS pos FROM g GROUP BY h, doc_id),
+ranked AS (
+  SELECT doc_id, pos, h,
+         count(*) OVER (PARTITION BY h) AS n_docs,
+         row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rk
+  FROM pd
+)
+SELECT doc_id, pos, h AS span_md5, CAST(n_docs AS BIGINT) AS n_docs,
+       rk = 1 AS is_keeper
+FROM ranked WHERE n_docs >= 2
+"""
+
+
+def remove_dup_spans(
+    docs: DataFrame, spans: DataFrame, k: int, text_col: str = "text"
+) -> DataFrame:
+    """Span-REMOVAL composition (the second half of Lee et al.'s
+    ExactSubstr pipeline): given ``exact_substring_spans`` output, drop
+    from each document every token covered by a duplicated span it does
+    NOT keep, and return the docs with ``dedup_text`` (the surviving
+    tokens re-joined) plus ``n_removed_tokens``.  Keeper occurrences
+    survive, so exactly one copy of each duplicated span remains
+    corpus-wide.
+
+    Scale shape: one groupBy(doc_id) collapses each doc's non-keeper
+    span starts into an array (O(spans-per-doc), bounded by doc length),
+    one equi-join back to the docs on doc_id, then the coverage test is
+    a row-local higher-order ``filter`` over the token array — text
+    never shuffles with the spans, and docs with no duplicated spans
+    pass through the left join untouched."""
+    starts = (
+        spans.filter(~F.col("is_keeper"))
+        .groupBy("doc_id")
+        .agg(F.collect_set("pos").alias("_starts"))
+    )
+    d = docs.join(starts, "doc_id", "left").withColumn(
+        "_toks", F.split(F.lower(text_col), " ")
+    )
+    # token at 1-based index i survives unless some start s covers it:
+    # s <= i < s + k  (a short doc's whole-doc span has s=1, k>=len)
+    kept = F.expr(
+        "CASE WHEN _starts IS NULL THEN _toks ELSE "
+        " filter(transform(_toks, (t, i) ->"
+        "   CASE WHEN exists(_starts, s -> s <= i + 1 AND i + 1 < s + "
+        f"{k}) THEN NULL ELSE t END), t -> t IS NOT NULL) END"
+    )
+    return (
+        d.withColumn("_kept", kept)
+        .withColumn("dedup_text", F.concat_ws(" ", "_kept"))
+        .withColumn(
+            "n_removed_tokens",
+            (F.size("_toks") - F.size("_kept")).cast("long"),
+        )
+        .drop("_starts", "_toks", "_kept")
+    )
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "minhash_signatures": minhash_signatures,
@@ -505,7 +645,13 @@ QUERIES = {
     "ngram_jaccard_adjacent": ngram_jaccard_adjacent,
     "embedding_neardup_adjacent": embedding_neardup_adjacent,
     "embedding_lsh_neardup": embedding_lsh_neardup,
-    "exact_substring_dup": exact_substring_dup,
+    # registered fixture queries pin k=FIXTURE_SUBSTR_K (the operator
+    # default is the paper-faithful SUBSTR_K=50, degenerate on the short
+    # synthetic docs); the oracles below are generated at the same k
+    "exact_substring_dup": lambda spark, sf: exact_substring_dup(
+        spark, sf, k=FIXTURE_SUBSTR_K
+    ),
+    "exact_substring_spans": exact_substring_spans,
 }
 
 ORACLES = {
@@ -518,4 +664,5 @@ ORACLES = {
     "embedding_neardup_adjacent": EMB_NEARDUP_SQL,
     "embedding_lsh_neardup": _emb_lsh_sql(),
     "exact_substring_dup": EXACT_SUBSTR_SQL,
+    "exact_substring_spans": exact_substr_spans_sql(),
 }

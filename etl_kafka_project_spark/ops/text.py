@@ -859,6 +859,100 @@ FROM aug
 """
 
 
+def curated_corpus_packed(spark: SparkSession, sf: str) -> DataFrame:
+    """The tokenizable TRAINING ARTIFACT (round-5 VERDICT #7): compose
+    the full curation keep-list (``curated_corpus``), the PII scrub
+    (``redact_pii`` — the privacy pass runs on the SURVIVING docs, the
+    order a real pipeline uses: no point scrubbing text the gates drop),
+    and the concat-and-chunk packing index (``pack_sequences``' layout,
+    computed over the kept set only, so offsets describe the stream a
+    loader actually reads). One row per kept document: its packing
+    coordinates against the redacted token stream plus the redacted
+    text's sha256 (the byte-equality invariant, checkable without
+    hauling text through the comparator). The registered query augments
+    the PII-free synthetic corpus with the deterministic fixture
+    (``_PII_AUGMENT_SQL``, mirrored in the oracle) so the redaction leg
+    is exercised, exactly as ``pii_redaction`` does.
+
+    Scale shape: the keep-list is the already-audited ``curated_corpus``
+    plan (one-key equi-joins); redaction is row-local JVM regex in the
+    same stage as the scan; packing is one window per source over 3
+    narrow columns of the KEPT rows only — content never shuffles, and
+    the stream layout is order-defined (source, doc_id), so it is
+    deterministic under retries."""
+    from etl_kafka_project_spark.ops.curation import PACK_BUDGET
+
+    kept = curated_corpus(spark, sf).select("doc_id")
+    d = load(spark, sf, "documents").withColumn(
+        "_pii_text", F.expr(_PII_AUGMENT_SQL)
+    )
+    r = redact_pii(d.select("doc_id", "source", "_pii_text"), "_pii_text")
+    base = kept.join(r, "doc_id").select(
+        "source",
+        "doc_id",
+        F.size(F.split(F.lower("redacted_text"), " ")).cast("long").alias("n_tokens"),
+        F.sha2("redacted_text", 256).alias("redacted_sha256"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        base.withColumn("end_offset", F.sum("n_tokens").over(w))
+        .withColumn("start_offset", F.col("end_offset") - F.col("n_tokens"))
+        .withColumn("pack_id", F.floor(F.col("start_offset") / PACK_BUDGET))
+        .withColumn(
+            "spans_boundary",
+            F.floor((F.col("end_offset") - 1) / PACK_BUDGET) != F.col("pack_id"),
+        )
+        .select(
+            "source",
+            "doc_id",
+            "n_tokens",
+            "start_offset",
+            "pack_id",
+            "spans_boundary",
+            "redacted_sha256",
+        )
+    )
+
+
+def _curated_packed_sql() -> str:
+    from etl_kafka_project_spark.ops.curation import PACK_BUDGET
+
+    return f"""
+WITH kept AS ({CURATED_CORPUS_SQL}),
+red AS (
+  SELECT doc_id, source,
+         regexp_replace(regexp_replace(regexp_replace({_PII_AUGMENT_DUCK},
+             '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+             '{PII_PHONE_RE}', '<PHONE>', 'g'),
+             '{PII_IP_RE}', '<IP>', 'g') AS rt
+  FROM documents
+),
+base AS (
+  SELECT r.source, r.doc_id,
+         CAST(len(string_split(lower(r.rt), ' ')) AS BIGINT) AS n_tokens,
+         sha256(r.rt) AS redacted_sha256
+  FROM red r JOIN kept k ON r.doc_id = k.doc_id
+),
+c AS (
+  SELECT *, sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS end_offset
+  FROM base
+)
+SELECT source, doc_id, n_tokens,
+       CAST(end_offset - n_tokens AS BIGINT) AS start_offset,
+       CAST(floor((end_offset - n_tokens) / {PACK_BUDGET}) AS BIGINT) AS pack_id,
+       floor((end_offset - 1) / {PACK_BUDGET})
+         != floor((end_offset - n_tokens) / {PACK_BUDGET}) AS spans_boundary,
+       redacted_sha256
+FROM c
+"""
+
+
 QUERIES = {
     "token_stats": token_stats,
     "quality_score": quality_score,
@@ -876,6 +970,7 @@ QUERIES = {
     "corpus_stats_by_source": corpus_stats_by_source,
     "unigram_surprisal": unigram_surprisal,
     "curated_corpus": curated_corpus,
+    "curated_corpus_packed": curated_corpus_packed,
     "dsir_importance": dsir_importance,
     "doc_fingerprint": doc_fingerprint,
 }
@@ -894,5 +989,6 @@ ORACLES = {
     "corpus_stats_by_source": CORPUS_STATS_SQL,
     "unigram_surprisal": UNIGRAM_SURPRISAL_SQL,
     "curated_corpus": CURATED_CORPUS_SQL,
+    "curated_corpus_packed": _curated_packed_sql(),
     "dsir_importance": DSIR_SQL,
 }

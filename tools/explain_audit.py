@@ -135,6 +135,20 @@ AUDITS: dict[str, list[tuple[str, str]]] = {
         ("two-phase span-hash agg", "HashAggregate"),
         ("per-span dup test via window", "Window"),
     ],
+    "exact_substring_spans": [
+        # span positions: occurrences collapse per (hash, doc) first,
+        # then ONE window over the collapsed rows ranks the keeper
+        ("per-doc collapse partial agg", "HashAggregate"),
+        ("keeper election via window", "Window"),
+    ],
+    "curated_corpus_packed": [
+        # the keep-list's cheap gates still reach the scans after the
+        # redaction + packing composition
+        ("lang gate pushed to scan", "EqualTo(lang,en)"),
+        ("benchmark broadcast", "BroadcastHashJoin"),
+        # packing = one running-sum window per source over kept rows
+        ("per-source running sum", "Window"),
+    ],
     "semdedup_prune": [
         # O(k) centroid set broadcasts for assignment; the in-cluster
         # pairing is an equi-join (never corpus-vs-corpus cartesian)
@@ -193,6 +207,10 @@ COUNT_AUDITS: dict[str, list[tuple[str, str, int]]] = {
     # the corpus is tokenized + hashed exactly once; the dup test and
     # rollup ride narrow hash rows (the 3-branch form scanned 3x)
     "exact_substring_dup": [
+        ("single documents scan", "Scan parquet", 2),
+        ("no sort-based agg", "SortAggregate", 0),
+    ],
+    "exact_substring_spans": [
         ("single documents scan", "Scan parquet", 2),
         ("no sort-based agg", "SortAggregate", 0),
     ],
