@@ -64,6 +64,37 @@ def json_binlog(
     return parsed.select("e.*")
 
 
+#: The wire schema ``format("kafka")`` produces — pinned here so the
+#: decode can be contract-tested against recorded frames without a
+#: broker (no spark-sql-kafka jar exists in the sandbox).
+KAFKA_WIRE_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.BinaryType(), True),
+        T.StructField("value", T.BinaryType(), True),
+        T.StructField("topic", T.StringType(), True),
+        T.StructField("partition", T.IntegerType(), True),
+        T.StructField("offset", T.LongType(), True),
+        T.StructField("timestamp", T.TimestampType(), True),
+        T.StructField("timestampType", T.IntegerType(), True),
+    ]
+)
+
+
+def decode_kafka_frame(raw: DataFrame, schema: T.StructType | None = None) -> DataFrame:
+    """Decode a Kafka-wire-shaped frame (``KAFKA_WIRE_SCHEMA`` — the
+    exact columns ``format("kafka")`` emits) into the typed envelope.
+    Split from :func:`kafka_binlog` so the decode half of the production
+    path is testable end-to-end on recorded frames in a broker-less
+    sandbox: everything downstream of ``reader.load()`` is THIS function,
+    batch or streaming alike (the expression is identical; Structured
+    Streaming plans it per micro-batch)."""
+    schema = schema or EVENT_SCHEMA
+    return raw.select(
+        F.from_json(F.col("value").cast("string"), schema).alias("e"),
+        F.col("topic").alias("_source"),
+    ).select("e.*", "_source")
+
+
 def kafka_binlog(
     spark: SparkSession,
     bootstrap_servers: str,
@@ -77,7 +108,6 @@ def kafka_binlog(
     engine's epoch idempotence makes reprocessing after failover a no-op,
     reproducing commit-after-process + idempotent-sink
     (``kafka_interface.py:74`` + ``redis_interface.py:58``) atomically."""
-    schema = schema or EVENT_SCHEMA
     reader = (
         spark.readStream.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap_servers)
@@ -86,11 +116,7 @@ def kafka_binlog(
     )
     if max_offsets_per_trigger:
         reader = reader.option("maxOffsetsPerTrigger", max_offsets_per_trigger)
-    raw = reader.load()
-    return raw.select(
-        F.from_json(F.col("value").cast("string"), schema).alias("e"),
-        F.col("topic").alias("_source"),
-    ).select("e.*", "_source")
+    return decode_kafka_frame(reader.load(), schema)
 
 
 def union_sources(*streams: DataFrame) -> DataFrame:
