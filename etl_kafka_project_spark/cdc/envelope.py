@@ -73,12 +73,21 @@ def decode_json_events(raw: DataFrame, value_col: str = "value") -> DataFrame:
 
 def dead_letter_reason() -> F.Column:
     """Envelope-validation verdict per event: null when valid, else the
-    dead-letter reason (see :func:`split_dead_letters`)."""
-    return (
-        F.when(F.col("lsn").isNull(), F.lit("null_lsn"))
-        .when(F.col("repo").isNull() | F.col("path").isNull(), F.lit("null_key"))
-        .when(~F.col("op").isin(*OPS), F.lit("bad_op"))
-        .when((F.col("op") == "I") & F.col("content").isNull(), F.lit("null_content"))
+    dead-letter reason (see :func:`split_dead_letters`). Unbound
+    when-chain (~40 ms of py4j construction) memoized across epochs."""
+    from etl_kafka_project_spark.functions.exprcache import cached_exprs
+
+    return cached_exprs(
+        ("dead_letter_reason",),
+        lambda: (
+            F.when(F.col("lsn").isNull(), F.lit("null_lsn"))
+            .when(F.col("repo").isNull() | F.col("path").isNull(), F.lit("null_key"))
+            .when(~F.col("op").isin(*OPS), F.lit("bad_op"))
+            .when(
+                (F.col("op") == "I") & F.col("content").isNull(),
+                F.lit("null_content"),
+            )
+        ),
     )
 
 
@@ -92,7 +101,14 @@ def split_dead_letters(events: DataFrame) -> tuple[DataFrame, DataFrame]:
     replacement for the reference's typed-exception log-and-continue
     (``utils/exceptions.py``, ``kafka_interface.py:75-76``).
     """
-    tagged = events.withColumn("_dead_reason", dead_letter_reason())
-    valid = tagged.filter(F.col("_dead_reason").isNull()).drop("_dead_reason")
-    dead = tagged.filter(F.col("_dead_reason").isNotNull())
+    from etl_kafka_project_spark.functions.exprcache import cached_exprs
+
+    reason = dead_letter_reason()
+    is_valid = cached_exprs(("dead_letter_is_valid",), lambda: reason.isNull())
+    # valid side: one filter on the cached predicate (the hot path —
+    # withColumn+drop would cost two more driver round-trips per epoch)
+    valid = events.filter(is_valid)
+    dead = events.withColumn("_dead_reason", reason).filter(
+        F.col("_dead_reason").isNotNull()
+    )
     return valid, dead

@@ -133,16 +133,27 @@ def align_events(events: DataFrame, table_schema: T.StructType) -> DataFrame:
     missing columns null-fill (late old-writer events after an ALTER,
     FIXTURES.md §3), narrower columns cast up, extra non-payload columns
     drop. Envelope columns pass through untouched."""
+    from etl_kafka_project_spark.functions.exprcache import cached_exprs
+
     meta_names = {"content_sha256", "last_lsn", "row_version", "_deleted"}
     have = {f.name: f for f in events.schema.fields}
-    cols: list[F.Column] = [F.col(c) for c in ENVELOPE_COLS if c in have]
-    for f in table_schema.fields:
-        if f.name in meta_names:
-            continue
-        if f.name not in have:
-            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
-        elif have[f.name].dataType != f.dataType:
-            cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
-        else:
-            cols.append(F.col(f.name))
+
+    def _build() -> list[F.Column]:
+        cols: list[F.Column] = [F.col(c) for c in ENVELOPE_COLS if c in have]
+        for f in table_schema.fields:
+            if f.name in meta_names:
+                continue
+            if f.name not in have:
+                cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+            elif have[f.name].dataType != f.dataType:
+                cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+            else:
+                cols.append(F.col(f.name))
+        return cols
+
+    # unbound projection, memoized on the (batch schema, table schema)
+    # pair — steady-state epochs repeat the same pair every trigger
+    cols = cached_exprs(
+        ("align_events", events.schema.json(), table_schema.json()), _build
+    )
     return events.select(*cols)

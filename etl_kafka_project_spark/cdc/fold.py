@@ -79,6 +79,8 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from etl_kafka_project_spark.functions.exprcache import cached_exprs
+
 #: LSN sentinel for "this column was never set by a surviving event".
 NEVER = -1
 
@@ -133,27 +135,40 @@ def fold_batch(
     # Replay duplicates (same lsn re-delivered verbatim) are no-ops by
     # construction here: ties in max_by carry identical values, and
     # ``_applied`` counts DISTINCT lsns — no pre-dedup shuffle needed.
-    d_lsn = F.max(F.when(F.col(op_col) == "D", F.col(lsn_col))).alias("_last_d_lsn")
-    # reset barrier: I and D both replace the whole row as of their lsn
-    reset_lsn = F.max(F.when(F.col(op_col).isin("I", "D"), F.col(lsn_col))).alias(
-        "_last_reset_lsn"
-    )
+    #
+    # All of these are UNBOUND expressions whose py4j construction costs
+    # ~190 ms of serial driver time — memoized across epochs
+    # (functions/exprcache.py): a steady-state replay builds them once.
+    def _build_aggs() -> list[F.Column]:
+        d_lsn = F.max(F.when(F.col(op_col) == "D", F.col(lsn_col))).alias(
+            "_last_d_lsn"
+        )
+        # reset barrier: I and D both replace the whole row as of their lsn
+        reset_lsn = F.max(
+            F.when(F.col(op_col).isin("I", "D"), F.col(lsn_col))
+        ).alias("_last_reset_lsn")
 
-    def cell_aggs(col: str) -> list[F.Column]:
-        live = F.when(F.col(op_col) != "D", F.col(col))
-        lsn_of_write = F.when(live.isNotNull(), F.col(lsn_col))
-        return [
-            F.max_by(live, lsn_of_write).alias(f"_v_{col}"),
-            F.max(lsn_of_write).alias(f"_l_{col}"),
+        def cell_aggs(col: str) -> list[F.Column]:
+            live = F.when(F.col(op_col) != "D", F.col(col))
+            lsn_of_write = F.when(live.isNotNull(), F.col(lsn_col))
+            return [
+                F.max_by(live, lsn_of_write).alias(f"_v_{col}"),
+                F.max(lsn_of_write).alias(f"_l_{col}"),
+            ]
+
+        aggs = [
+            F.max(F.col(lsn_col)).alias("_max_lsn"),
+            d_lsn,
+            reset_lsn,
         ]
+        for c in payload_columns:
+            aggs += cell_aggs(c)
+        return aggs
 
-    aggs = [
-        F.max(F.col(lsn_col)).alias("_max_lsn"),
-        d_lsn,
-        reset_lsn,
-    ]
-    for c in payload_columns:
-        aggs += cell_aggs(c)
+    aggs = cached_exprs(
+        ("fold_aggs", tuple(key_columns), tuple(payload_columns), lsn_col, op_col),
+        _build_aggs,
+    )
 
     import os as _os
 
@@ -167,17 +182,14 @@ def fold_batch(
         # its size (exact distinct-lsn count), _lsns = its smallest
         # LSN_SAMPLE+1 members sorted (size == LSN_SAMPLE+1 marks
         # truncation, same contract as the two-phase shape).
-        folded = events.groupBy(*key_columns).agg(
-            *aggs, F.collect_set(F.col(lsn_col)).alias("_lsnset")
+        lsnset = cached_exprs(
+            ("fold_post", lsn_col),
+            lambda: F.collect_set(F.col(lsn_col)).alias("_lsnset"),
         )
-        folded = (
-            folded.withColumn("_applied", F.size("_lsnset").cast("long"))
-            .withColumn(
-                "_lsns", F.slice(F.array_sort("_lsnset"), 1, LSN_SAMPLE + 1)
-            )
-            .drop("_lsnset")
-        )
-        return _resolve(folded, key_columns, payload_columns)
+        folded = events.groupBy(*key_columns).agg(*aggs, lsnset)
+        # _applied/_lsns derive from _lsnset inside _resolve's single
+        # projection — three fewer DataFrame round-trips per epoch
+        return _resolve(folded, key_columns, payload_columns, from_lsnset=True)
 
     # TWO-PHASE shape: _applied = exact count of DISTINCT lsns per key,
     # computed on a NARROW (key, lsn) projection as a two-phase hash
@@ -246,28 +258,51 @@ def fold_batch(
 
 
 def _resolve(
-    folded: DataFrame, key_columns: list[str], payload_columns: list[str]
+    folded: DataFrame,
+    key_columns: list[str],
+    payload_columns: list[str],
+    from_lsnset: bool = False,
 ) -> DataFrame:
     # Post-aggregation resolution: discard value cells at or below the
     # newest delete (they were erased), surface (value, value_lsn) pairs.
-    out_cols: list[F.Column] = [F.col(c) for c in key_columns] + [
-        F.col("_max_lsn"),
-        F.col("_last_d_lsn"),
-        F.col("_last_reset_lsn"),
-        (F.col("_last_d_lsn").isNotNull() & (F.col("_last_d_lsn") == F.col("_max_lsn"))).alias(
-            "_is_delete"
-        ),
-        F.col("_applied"),
-        F.col("_lsns"),
-    ]
-    # a cell survives if it is newer than the newest delete (strict — a D
-    # erases everything at its lsn) and not older than the newest reset
-    # (>= — an I's own writes share its lsn and survive)
-    erased_below = F.coalesce(F.col("_last_d_lsn"), F.lit(NEVER))
-    reset_floor = F.coalesce(F.col("_last_reset_lsn"), F.lit(NEVER))
-    for c in payload_columns:
-        v, l = F.col(f"_v_{c}"), F.col(f"_l_{c}")
-        alive = (l > erased_below) & (l >= reset_floor)
-        out_cols.append(F.when(alive, v).alias(c))
-        out_cols.append(F.when(alive, l).otherwise(F.lit(NEVER)).alias(f"{c}_lsn"))
+    # Unbound projection, memoized across epochs like the fold aggs.
+    # ``from_lsnset``: the fused shape carries the raw collect_set; the
+    # bookkeeping columns derive here, in the same single projection.
+    def _build() -> list[F.Column]:
+        if from_lsnset:
+            applied_c = F.size("_lsnset").cast("long").alias("_applied")
+            lsns_c = F.slice(F.array_sort("_lsnset"), 1, LSN_SAMPLE + 1).alias(
+                "_lsns"
+            )
+        else:
+            applied_c, lsns_c = F.col("_applied"), F.col("_lsns")
+        out_cols: list[F.Column] = [F.col(c) for c in key_columns] + [
+            F.col("_max_lsn"),
+            F.col("_last_d_lsn"),
+            F.col("_last_reset_lsn"),
+            (
+                F.col("_last_d_lsn").isNotNull()
+                & (F.col("_last_d_lsn") == F.col("_max_lsn"))
+            ).alias("_is_delete"),
+            applied_c,
+            lsns_c,
+        ]
+        # a cell survives if it is newer than the newest delete (strict — a
+        # D erases everything at its lsn) and not older than the newest
+        # reset (>= — an I's own writes share its lsn and survive)
+        erased_below = F.coalesce(F.col("_last_d_lsn"), F.lit(NEVER))
+        reset_floor = F.coalesce(F.col("_last_reset_lsn"), F.lit(NEVER))
+        for c in payload_columns:
+            v, l = F.col(f"_v_{c}"), F.col(f"_l_{c}")
+            alive = (l > erased_below) & (l >= reset_floor)
+            out_cols.append(F.when(alive, v).alias(c))
+            out_cols.append(
+                F.when(alive, l).otherwise(F.lit(NEVER)).alias(f"{c}_lsn")
+            )
+        return out_cols
+
+    out_cols = cached_exprs(
+        ("fold_resolve", tuple(key_columns), tuple(payload_columns), from_lsnset),
+        _build,
+    )
     return folded.select(*out_cols)

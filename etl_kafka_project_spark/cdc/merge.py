@@ -311,6 +311,7 @@ def merge_folded(
     epoch: tuple[str, int] | None = None,
     events_in: int = -1,
     changelog_dir: str | None = None,
+    snap=None,
 ) -> MergeStats:
     """MERGE a folded batch (output of ``fold_batch``) into the table.
 
@@ -326,7 +327,18 @@ def merge_folded(
     so a crash-retry regenerates identical content.
     """
     t0 = time.time()
-    snap = table.snapshot()
+    if snap is None:
+        # MOR appends never read the parent's file listing (the write
+        # needs only version/schema/props; resolution happens at read),
+        # so the per-epoch serial floor skips assembling every bucket
+        # manifest — O(1) header read instead of O(table files). COW
+        # rewrites buckets from the parent's base files and needs the
+        # full listing.
+        snap = (
+            table.snapshot_header()
+            if config.merge_mode == "mor"
+            else table.snapshot()
+        )
     key_cols = snap.props["key_columns"]
     payload_cols = [
         f.name
@@ -523,7 +535,11 @@ def merge_events(
     which lives in ``cdc/stream.py``)."""
     from etl_kafka_project_spark.cdc.evolution import align_events
 
-    snap = table.snapshot()
+    # header-only for MOR (no file listing needed on the append path);
+    # the one snapshot read is shared with merge_folded below
+    snap = (
+        table.snapshot_header() if config.merge_mode == "mor" else table.snapshot()
+    )
     key_cols = snap.props["key_columns"]
     payload_cols = [
         f.name
@@ -539,4 +555,6 @@ def merge_events(
         op_col=config.op_column,
         salt=salt,
     )
-    return merge_folded(table, folded, config, epoch=epoch, changelog_dir=changelog_dir)
+    return merge_folded(
+        table, folded, config, epoch=epoch, changelog_dir=changelog_dir, snap=snap
+    )

@@ -236,11 +236,16 @@ class ReplayJob:
 
             from etl_kafka_project_spark.cdc.envelope import dead_letter_reason
 
+            from etl_kafka_project_spark.functions.exprcache import cached_exprs
+
             dead_obs = Observation()
-            batch = batch_df.observe(
-                dead_obs,
-                F.sum(dead_letter_reason().isNotNull().cast("long")).alias("n_dead"),
+            n_dead_expr = cached_exprs(
+                ("n_dead_metric",),
+                lambda: F.sum(
+                    dead_letter_reason().isNotNull().cast("long")
+                ).alias("n_dead"),
             )
+            batch = batch_df.observe(dead_obs, n_dead_expr)
             valid, _ = split_dead_letters(batch)
 
             # watermarked cross-epoch dedup, "committed" scope: every
@@ -269,13 +274,29 @@ class ReplayJob:
             # the concurrent winner was a schema evolution.
             from etl_kafka_project_spark.minilake.table import SnapshotConflictError
 
+            # Schema-coverage cache (per-trigger serial-floor item,
+            # round-5 verdict #5): the evolve diff costs ~80 ms of
+            # driver time per epoch, and in steady state every epoch
+            # carries the SAME batch schema. Coverage is MONOTONE —
+            # table schemas only ever widen (add/widen, never
+            # narrow/drop), including under concurrent streams — so once
+            # a batch schema has been diffed (and any ALTER committed),
+            # that exact schema is covered forever and the diff can be
+            # skipped. A schema change (the rare event) misses the cache
+            # and pays the full evolve path.
+            batch_schema_fp = valid.schema.json()
+            if not hasattr(self, "_covered_schemas"):
+                self._covered_schemas: set[str] = set()
+
             for attempt in range(EPOCH_COMMIT_RETRIES + 1):
                 try:
                     # additive/widening schema evolution BEFORE the
                     # merge; its commit is idempotent (re-diff after
                     # crash is empty), so it can sit outside the
                     # epoch-stamped data commit safely
-                    evolve_table(table, valid.schema)
+                    if batch_schema_fp not in self._covered_schemas:
+                        evolve_table(table, valid.schema)
+                        self._covered_schemas.add(batch_schema_fp)
                     if attempt == 0:
                         phases["evolve_s"] = round(_time.time() - t, 2)
                         t = _time.time()
