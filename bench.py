@@ -69,10 +69,12 @@ CDC_SPEC = dict(
     max_lines=int(os.environ.get("SPARK_GRAFT_BENCH_MAX_LINES", "80")),
     seed=42,
 )
-#: epoch size: larger epochs amortize the per-trigger serial floor
-#: (driver planning + codegen + offset/commit log + snapshot commit,
-#: ~1-4 s/epoch) — on a real cluster this floor is identical, which is
-#: why high-throughput CDC replays run big micro-batches
+#: epoch size: larger epochs amortize the per-trigger serial floor —
+#: round-5 profiling decomposed it (snapshot commit ~10 ms, schema diff
+#: ~0.2 ms, offset log + trigger gap ~170 ms, py4j expression
+#: construction ~315 ms now memoized down to ~73 ms by
+#: functions/exprcache.py) — on a real cluster this floor is identical,
+#: which is why high-throughput CDC replays run big micro-batches
 CDC_FILES_PER_TRIGGER = int(os.environ.get("SPARK_GRAFT_BENCH_FILES_PER_TRIGGER", "32"))
 
 
