@@ -66,10 +66,11 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # Round-5 promotion list: every query absent from CORRECTNESS_r04
 # (rotated past the cap in r4 after multiple r1-r3 green rounds), in
-# module order, followed by the round-5-new queries.  These sort FIRST
-# so the driver's 50-entry harness attests them this round; the 50
-# r4-green queries fill the remaining 30 in-cap slots in module order
-# and are additionally covered by tests/test_oracle_sweep.py.
+# module order, followed by the round-5-new queries.  These 22 sort
+# FIRST so the driver's 50-entry harness attests them this round; the
+# r4-green queries fill the remaining 28 in-cap slots in module order
+# and are additionally covered by the full-surface sweep in
+# tests/test_entry_oracles.py (every registered oracle, cap-independent).
 _PROMOTE_INTO_CAP = [
     # absent from r4 — relational / text tail
     "orders_by_year",
