@@ -448,6 +448,16 @@ shuffling every event through `dropDuplicatesWithinWatermark` state)
 took the watermarked variant from 6,094 to ~93,400 ev/s — exactly-once
 WITH the watermark guard now runs at parity with plain replay
 (test_watermarked_cross_epoch_dedup still pins the dedup semantics).
+
+Round-5 delta: profiling decomposed the per-epoch serial floor — the
+snapshot commit is ~10 ms and the schema diff ~0.2 ms; the dominant
+constant cost was py4j CONSTRUCTION of the fold's unbound expression
+trees (~315 ms/epoch), now memoized across epochs
+(`functions/exprcache.py`, 315 -> 73 ms). Same-host A/B: epoch walls
+1.35-1.7 s -> ~1.2 s, plain replay ~100k -> ~137k ev/s at local[32].
+Serial driver work is exactly what erodes N -> 4N efficiency, so the
+cut also moves the scaling ladder's absolute throughput (repro4 posted
+the highest per-level throughput of any campaign).
 """
     control = None
     ctrl_path = os.path.join(REPO, "BENCH", "control.json")
@@ -502,6 +512,7 @@ criterion ladder had to run behind the membw gate:
 | r4 second 2->8 campaign, mixed noise (loads 0.1-2.0 mid-trial; `BENCH/archive/*-2to8-r4-repro2.json`) | 2 -> 8 | 0.739 full / 0.782 sustained | 0.903 (paired, duration-matched) | 0.82 |
 | r4 third 2->8 campaign, window turned noisy mid-run (loads 2.6-5.1 between trials, membw probe dipped to 3.44 GB/s; `BENCH/archive/*-2to8-r4-repro3.json`) | 2 -> 8 | 0.654 full / 0.728 sustained | 0.614 (paired, duration-matched) | **1.07** |
 | r5 fourth 2->8 campaign, round-5 engine (expr-cache serial floor cut), mixed noise (trial-start loads 1.5-1.9, mid-trial spikes to 4.6; `BENCH/archive/*-2to8-r5-repro4.json`) | 2 -> 8 | 0.763 full / 0.769 sustained — at HIGHER absolute throughput than the criterion ladder at both levels (170.8k vs 156.2k ev/s at 2, 521.6k vs 507.1k at 8) | 0.867 (paired, duration-matched) | 0.88 |
+| r5 fifth 2->8 campaign, sustained membw pressure (probes 4.2-6.2 GB/s between trials; the 8-thread level never saw a quiet start — best 14.1 s vs repro4's 12.3 s; `BENCH/archive/*-2to8-r5-repro5.json`) | 2 -> 8 | 0.708 full / 0.69 sustained | 0.814 (paired, duration-matched) | 0.87 |
 | r3 morning, moderate noise | 4 -> 16 | 0.552 full / 0.699 sustained | 0.71 (short-run, biased HIGH) | 0.78 |
 | r3 evening, bus-starved (`BENCH/archive/*-1825-starved.json`) | 4 -> 16 | 0.308 | **0.20** (duration-matched, 190M rows) | **1.54** |
 | r3 night, bus-starved (archived) | 2 -> 8 | 0.614 full / 0.591 sustained | — (controls dropped for trial cadence) | — |
@@ -518,11 +529,11 @@ engine's own scaling headroom is also measured component-wise on static
 batches (noop sink, quiet morning): full fold 0.787, wide max_by
 aggregate 0.778, narrow applied path 0.864 at 4 -> 16.
 
-Across the six paired campaigns (five in round 4, one in round 5) the
+Across the seven paired campaigns (five in round 4, two in round 5) the
 engine scaled at or above its same-window engine-free ceiling in four
 (engine-relative 1.18, 1.11, 1.07, 1.00; the mixed-noise repros read
-0.82 and 0.88), and the one gated quiet window produced the >= 0.8
-absolute pass. The round-5 repro4 ran the faster round-5 engine
+0.82, 0.88 and 0.87), and the one gated quiet window produced the
+>= 0.8 absolute pass. The round-5 repro4 ran the faster round-5 engine
 (expression-cache serial-floor cut) and posted the highest absolute
 throughput of any campaign at BOTH levels while reading 0.769
 sustained — the 2-thread level happened to gain more vs the criterion
