@@ -198,8 +198,10 @@ def run_movie_pipeline(
         completed.select("imdb_id", *[f.name for f in MOVIE_PAYLOAD_FIELDS])
     )
     # materialize BEFORE tombstoning state (the reference emits first,
-    # deletes after, pyspark_interface.py:79-80)
-    emitted = spark.createDataFrame(emitted.collect(), emitted.schema)
+    # deletes after, pyspark_interface.py:79-80); executor-side pin —
+    # the emitted snapshot must not re-read post-tombstone state, and
+    # completed movies need not fit on the driver
+    emitted = emitted.localCheckpoint(eager=True)
 
     max_lsn = state.agg(F.max("last_lsn")).first()[0] or 0
     tombstones = completed.select(
