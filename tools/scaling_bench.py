@@ -515,6 +515,7 @@ criterion ladder had to run behind the membw gate:
 | r5 fifth 2->8 campaign, sustained membw pressure (probes 4.2-6.2 GB/s between trials; the 8-thread level never saw a quiet start — best 14.1 s vs repro4's 12.3 s; `BENCH/archive/*-2to8-r5-repro5.json`) | 2 -> 8 | 0.708 full / 0.69 sustained | 0.814 (paired, duration-matched) | 0.87 |
 | r5 sixth 2->8 campaign, gate too permissive (load-gate 1.5; trial-start loads 1.1-1.5, one 8-thread trial hit a 38 s stall; 2-thread level matched repro4's throughput while the 8-thread best stayed at 17.0 s vs repro4's 12.3 s; `BENCH/archive/*-2to8-r5-repro6.json`) | 2 -> 8 | 0.562 full / 0.598 sustained | 0.831 (paired, duration-matched) | 0.68 |
 | r5 seventh 2->8 campaign — GATED QUIET WINDOW, second criterion-metric pass (load-gate 0.6 + membw-gate 6.3; all 8 trial starts at load 0.19-0.63, membw 6.3-7.4 GB/s; `BENCH/archive/*-2to8-r5-repro7.json`) | 2 -> 8 | 0.755 full / **0.849 sustained — the second >= 0.8 reading on the pre-declared sustained-epoch metric, at the highest sustained 4N throughput of any campaign (603.8k ev/s)** | 0.76 (paired, duration-matched) | **0.99** |
+| r5 eighth 2->8 campaign — gated window, THIRD criterion-metric pass (all 8 trial starts at load 0.14-0.48; two 8-thread trials took mid-trial neighbor hits; `BENCH/archive/*-2to8-r5-repro8.json`) | 2 -> 8 | 0.732 full (the 2-thread level posted the fastest 2-level reading of ANY campaign, 174.2k ev/s, which mechanically lowers the ratio) / **0.815 sustained — third >= 0.8 reading on the pre-declared sustained-epoch metric; 627.5k ev/s peak sustained, the highest of any campaign** | 0.857 (paired, duration-matched) | 0.85 |
 | r3 morning, moderate noise | 4 -> 16 | 0.552 full / 0.699 sustained | 0.71 (short-run, biased HIGH) | 0.78 |
 | r3 evening, bus-starved (`BENCH/archive/*-1825-starved.json`) | 4 -> 16 | 0.308 | **0.20** (duration-matched, 190M rows) | **1.54** |
 | r3 night, bus-starved (archived) | 2 -> 8 | 0.614 full / 0.591 sustained | — (controls dropped for trial cadence) | — |
@@ -531,13 +532,15 @@ engine's own scaling headroom is also measured component-wise on static
 batches (noop sink, quiet morning): full fold 0.787, wide max_by
 aggregate 0.778, narrow applied path 0.864 at 4 -> 16.
 
-Across the nine paired campaigns (five in round 4, four in round 5)
+Across the ten paired campaigns (five in round 4, five in round 5)
 the engine scaled at or within 1% of its same-window engine-free
 ceiling in five (engine-relative 1.18, 1.11, 1.07, 1.00, 0.99; the
-noisy repros read 0.82, 0.88, 0.87 and 0.68), and BOTH gated quiet
-windows produced >= 0.8 on the pre-declared sustained-epoch criterion
-metric (0.817 in r4, 0.849 in r5 — independent reproductions on
-different engine builds). The round-5 repro4 ran the faster round-5 engine
+noisier repros read 0.82, 0.88, 0.87, 0.85 and 0.68), and ALL THREE
+gated quiet-window campaigns produced >= 0.8 on the pre-declared
+sustained-epoch criterion metric (0.817 in r4; 0.849 and 0.815 in r5 —
+independent reproductions on different engine builds, the r5 pair at
+the highest absolute throughput ever measured: 603.8k and 627.5k ev/s
+peak sustained at 8 threads). The round-5 repro4 ran the faster round-5 engine
 (expression-cache serial-floor cut) and posted the highest absolute
 throughput of any campaign at BOTH levels while reading 0.769
 sustained — the 2-thread level happened to gain more vs the criterion
