@@ -80,6 +80,21 @@ PROFILES = {
         "SPARK_GRAFT_BENCH_N_SEGMENTS": "128",
         "SPARK_GRAFT_BENCH_FILES_PER_TRIGGER": "64",
     },
+    # same epoch SIZE as compute-weighted-small (3.2M events/epoch) but
+    # FOUR epochs instead of two: isolates how fast full-replay
+    # efficiency converges to the sustained-epoch metric as more epochs
+    # amortize the per-replay constants (stream listing, first-trigger
+    # planning, final commit) — the 10^10-replay regime in miniature.
+    # Pre-declared prediction (round 5): full-replay efficiency lands
+    # between the 2-epoch full and sustained readings, nearer sustained.
+    "compute-weighted-small-4ep": {
+        "SPARK_GRAFT_BENCH_N_EVENTS": "12800000",
+        "SPARK_GRAFT_BENCH_N_KEYS": "1200000",
+        "SPARK_GRAFT_BENCH_MIN_LINES": "2",
+        "SPARK_GRAFT_BENCH_MAX_LINES": "4",
+        "SPARK_GRAFT_BENCH_N_SEGMENTS": "256",
+        "SPARK_GRAFT_BENCH_FILES_PER_TRIGGER": "64",
+    },
 }
 
 #: ladder-wide bench knobs: a small UNTIMED warmup replay first (the
