@@ -23,6 +23,7 @@ replay in ``cdc/oracle.py``.
 from __future__ import annotations
 
 import os
+import time
 from dataclasses import dataclass
 
 import numpy as np
@@ -173,7 +174,28 @@ def write_segments(events: pd.DataFrame, out_dir: str, spec: StreamSpec) -> list
         path = os.path.join(out_dir, f"segment-{si:05d}.parquet")
         pq.write_table(table, path)
         paths.append(path)
+    space_mtimes(paths)
     return paths
+
+
+def space_mtimes(paths: list[str], step_sec: float = 0.005) -> None:
+    """Stamp segment files with strictly-increasing mtimes, >= step_sec
+    apart (well above Hadoop's 1 ms FileStatus resolution).
+
+    A real binlog directory satisfies this for free — the producer
+    rotates segments over time, so arrival order == mtime order. This
+    generator writes all segments within ~2 ms, which can give two
+    files the SAME millisecond mtime; Spark's FileStreamSource orders
+    new files by modification time with no path tie-break, so tied
+    segments may enter micro-batches out of log order — an out-of-order
+    FIRST delivery that violates the engine's delivery contract
+    (cdc/fold.py LSN_SAMPLE: lsns <= the key's applied max are verbatim
+    re-deliveries) and lets ReplayJob's order guard trip on fixture
+    noise instead of real violations."""
+    base = time.time()
+    for i, p in enumerate(paths):
+        t = base + i * step_sec
+        os.utime(p, (t, t))
 
 
 def write_segments_json(events: pd.DataFrame, out_dir: str, spec: StreamSpec) -> list[str]:
@@ -194,6 +216,7 @@ def write_segments_json(events: pd.DataFrame, out_dir: str, spec: StreamSpec) ->
         path = os.path.join(out_dir, f"segment-{si:05d}.json")
         seg.to_json(path, orient="records", lines=True, date_format="iso")
         paths.append(path)
+    space_mtimes(paths)
     return paths
 
 

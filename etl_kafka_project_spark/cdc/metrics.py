@@ -78,6 +78,14 @@ class LineageLog:
         _atomic_write_json(self._path(epoch_id), doc)
         return doc
 
+    def read_epoch(self, epoch_id: int) -> dict | None:
+        """One epoch's document, or None if never recorded."""
+        try:
+            with open(self._path(epoch_id)) as f:
+                return json.load(f)
+        except (OSError, ValueError):
+            return None
+
     def read_all(self) -> list[dict]:
         docs = []
         for fn in sorted(os.listdir(self.root)):

@@ -43,6 +43,33 @@ from etl_kafka_project_spark.cdc.envelope import EVENT_SCHEMA, split_dead_letter
 EPOCH_COMMIT_RETRIES = 20
 
 
+class OutOfOrderDeliveryError(RuntimeError):
+    """An applied epoch violated the in-order delivery contract: its
+    minimum valid LSN sits below this stream's applied high-water mark
+    yet inside none of the previously applied LSN intervals — a FIRST
+    delivery arriving after newer events were already applied (e.g. a
+    file source listing two same-millisecond segments out of log
+    order). The engine's bounded per-key state (``last_lsn`` as the
+    LWW / re-delivery authority) cannot apply such a batch with
+    in-LSN-order semantics, so the guard fails loud instead of silently
+    mis-counting the late events as re-deliveries. The epoch's snapshot
+    is already committed when this raises: recover by rolling back to
+    the prior snapshot (time travel) and re-delivering in order."""
+
+
+def _coalesce_ranges(ranges: list[list[int]]) -> list[list[int]]:
+    """Sort + merge overlapping/adjacent integer LSN intervals. In-order
+    delivery collapses to ONE interval, so the guard's bookkeeping is
+    O(1) in steady state regardless of epoch count."""
+    out: list[list[int]] = []
+    for lo, hi in sorted(ranges):
+        if out and lo <= out[-1][1] + 1:
+            out[-1][1] = max(out[-1][1], hi)
+        else:
+            out.append([lo, hi])
+    return out
+
+
 def _dead_letter_counts(path: str) -> dict[str, int]:
     """Per-reason dead-letter counts from the quarantine files' own
     parquet footers/pages (driver-side, no Spark job)."""
@@ -158,6 +185,30 @@ class ReplayJob:
         os.replace(tmp, self._hwm_path)
         self._hwm = int(max_lsn)
 
+    # ---------- delivery-order guard (config.order_guard) ----------
+
+    def _applied_lsn_ranges(self) -> list[list[int]]:
+        """Coalesced [min, max] LSN intervals of every epoch this stream
+        has applied, rebuilt from the lineage log on first use so the
+        guard survives restarts (a crash in the commit→lineage-record
+        window loses at most that one epoch's interval; the consequence
+        is a possible spurious guard trip on its re-delivery — loud,
+        never silent corruption)."""
+        if not hasattr(self, "_lsn_ranges"):
+            ranges = []
+            for doc in LineageLog(self.lineage_dir, self.stream_id).read_all():
+                # lsn_span = the batch's full valid span; lsn_range (the
+                # merge's min-of-per-key-maxima) is the conservative
+                # fallback for docs written by older engine builds
+                r = doc.get("lsn_span") or doc.get("lsn_range")
+                if r:
+                    ranges.append([int(r[0]), int(r[1])])
+            self._lsn_ranges: list[list[int]] = _coalesce_ranges(ranges)
+        return self._lsn_ranges
+
+    def _note_applied_range(self, lo: int, hi: int) -> None:
+        self._lsn_ranges = _coalesce_ranges(self._applied_lsn_ranges() + [[lo, hi]])
+
     # ---------- the foreachBatch body ----------
 
     def apply_epoch(self, batch_df: DataFrame, epoch_id: int) -> MergeStats:
@@ -195,7 +246,19 @@ class ReplayJob:
                 touched_buckets=0, wall_ms=0.0, per_bucket=[], skipped=True,
                 snapshot_version=table.current_version(),
             )
-            lineage.record(stats, dead_letters=dead_counts, skipped=True)
+            # keep the original commit's lsn_range in the overwritten
+            # lineage doc (and in the order guard's interval set) — the
+            # skip must not erase the evidence that the range was applied
+            prev = lineage.read_epoch(epoch_id) or {}
+            extra = {}
+            if prev.get("lsn_range"):
+                stats.lsn_range = [int(x) for x in prev["lsn_range"]]
+            span = prev.get("lsn_span") or prev.get("lsn_range")
+            if span:
+                extra["lsn_span"] = [int(x) for x in span]
+                if self.config.order_guard != "off":
+                    self._note_applied_range(*extra["lsn_span"])
+            lineage.record(stats, dead_letters=dead_counts, skipped=True, extra=extra)
             self.applied.append(stats)
             return stats
 
@@ -239,13 +302,26 @@ class ReplayJob:
             from etl_kafka_project_spark.functions.exprcache import cached_exprs
 
             dead_obs = Observation()
-            n_dead_expr = cached_exprs(
-                ("n_dead_metric",),
-                lambda: F.sum(
-                    dead_letter_reason().isNotNull().cast("long")
-                ).alias("n_dead"),
+            # the same single-pass observation also captures the batch's
+            # PRE-dedup-filter valid-event lsn span for the delivery-order
+            # guard — min/max over valid rows only (a dead letter's bogus
+            # lsn must not trip the guard), at zero extra jobs
+            _lsn = self.config.lsn_column
+            obs_exprs = cached_exprs(
+                ("epoch_obs_metrics", _lsn),
+                lambda: [
+                    F.sum(
+                        dead_letter_reason().isNotNull().cast("long")
+                    ).alias("n_dead"),
+                    F.min(
+                        F.when(dead_letter_reason().isNull(), F.col(_lsn))
+                    ).alias("lsn_min"),
+                    F.max(
+                        F.when(dead_letter_reason().isNull(), F.col(_lsn))
+                    ).alias("lsn_max"),
+                ],
             )
-            batch = batch_df.observe(dead_obs, n_dead_expr)
+            batch = batch_df.observe(dead_obs, *obs_exprs)
             valid, _ = split_dead_letters(batch)
 
             # watermarked cross-epoch dedup, "committed" scope: every
@@ -355,6 +431,33 @@ class ReplayJob:
         if stats.per_bucket and "events" in stats.per_bucket[0]:
             stats.events_in = sum(r["events"] for r in stats.per_bucket)
 
+        # Delivery-order guard: the observation above saw the batch's
+        # valid-lsn span BEFORE the committed-hwm dedup filter, so an
+        # out-of-order FIRST delivery is caught even when that filter
+        # would silently drop it. Detection is exact for the realistic
+        # failure shape (a whole late segment): the batch's min lsn
+        # falls below the applied high-water mark yet inside no applied
+        # interval. Re-deliveries pass (their lsns lie inside applied
+        # intervals), and in-order streams keep the bookkeeping at ONE
+        # coalesced interval. Events between a violating batch's min and
+        # max that fall in a gap while the min does not are the only
+        # shape the [min,max] summary cannot see.
+        order_violation: tuple[int, int] | None = None
+        lsn_span: list[int] | None = None
+        if self.config.order_guard != "off" and not stats.skipped:
+            obs = dead_obs.get
+            lo, hi = obs.get("lsn_min"), obs.get("lsn_max")
+            if lo is not None:
+                ranges = self._applied_lsn_ranges()
+                hwm = ranges[-1][1] if ranges else None
+                if hwm is not None and lo <= hwm and not any(
+                    a <= lo <= b for a, b in ranges
+                ):
+                    order_violation = (int(lo), int(hwm))
+                    phases["order_violation"] = [int(lo), int(hwm)]
+                lsn_span = [int(lo), int(hi)]
+                self._note_applied_range(*lsn_span)
+
         # advance the committed high-water mark only after the epoch's
         # snapshot commit landed (merge_events returned)
         if self.watermark and self.watermark_scope == "committed" and stats.lsn_range:
@@ -411,8 +514,24 @@ class ReplayJob:
             phases["salted_from_next_epoch"] = self.salt
 
         stats.per_bucket = list(stats.per_bucket)  # lineage doc carries phases too
-        lineage.record(stats, dead_letters=dead_counts, extra={"phases": phases})
+        extra: dict = {"phases": phases}
+        if lsn_span is not None:
+            # the batch's FULL valid-lsn span (pre-dedup-filter, all
+            # events — vs lsn_range's fold-shaped min-of-per-key-maxima);
+            # the order guard rebuilds its applied intervals from this
+            extra["lsn_span"] = lsn_span
+        lineage.record(stats, dead_letters=dead_counts, extra=extra)
         self.applied.append(stats)
+        if order_violation is not None and self.config.order_guard == "error":
+            lo, hwm = order_violation
+            raise OutOfOrderDeliveryError(
+                f"stream {self.stream_id!r} epoch {epoch_id}: batch min lsn"
+                f" {lo} is below the applied high-water mark {hwm} but inside"
+                f" no applied lsn interval — an out-of-order first delivery."
+                f" Its snapshot (v{stats.snapshot_version}) is committed:"
+                f" roll back via time travel and re-deliver in order, or set"
+                f" EngineConfig(order_guard='warn') to record-and-continue."
+            )
         return stats
 
     # ---------- streaming query ----------

@@ -71,6 +71,21 @@ class EngineConfig:
     #: orphans, so it is safe to run while other streams commit.
     expire_snapshots_every_epochs: int | None = None
     expire_keep_last: int = 8
+    #: delivery-contract guard: the engine's bounded per-key state
+    #: (``last_lsn`` as the LWW/re-delivery authority, cdc/merge.py)
+    #: requires epochs to arrive in LSN order, re-delivery of
+    #: already-applied events excepted — the ordering a binlog/WAL tail
+    #: or a Kafka partition gives for free, but one a file source can
+    #: break when two segment files tie on modification time. The guard
+    #: detects an out-of-order FIRST delivery exactly (an applied
+    #: epoch's min-lsn below the high-water mark yet outside every
+    #: previously applied lsn interval) from driver-side interval
+    #: bookkeeping — no extra Spark jobs. "error" (default) records the
+    #: violation in lineage and raises OutOfOrderDeliveryError (the
+    #: epoch's snapshot is already committed: roll back by time travel
+    #: to ``snapshot_version - 1`` and re-deliver in order); "warn"
+    #: records it in lineage phases only; "off" skips the bookkeeping.
+    order_guard: str = "error"
     extra: dict = field(default_factory=dict)
 
     def validate(self) -> "EngineConfig":
@@ -88,6 +103,8 @@ class EngineConfig:
             raise ConfigError("expire_snapshots_every_epochs must be >= 1 or None")
         if self.expire_keep_last < 1:
             raise ConfigError("expire_keep_last must be >= 1")
+        if self.order_guard not in ("error", "warn", "off"):
+            raise ConfigError("order_guard must be error|warn|off")
         if not self.key_columns:
             raise ConfigError("key_columns must be non-empty")
         if self.n_buckets < 1:

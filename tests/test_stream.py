@@ -7,7 +7,7 @@ import pandas as pd
 import pytest
 
 from etl_kafka_project_spark.cdc.envelope import EVENT_SCHEMA
-from etl_kafka_project_spark.cdc.fixtures import StreamSpec, generate_stream
+from etl_kafka_project_spark.cdc.fixtures import StreamSpec, generate_stream, space_mtimes
 from etl_kafka_project_spark.cdc.merge import create_code_table
 from etl_kafka_project_spark.cdc.metrics import LineageLog
 from etl_kafka_project_spark.cdc.oracle import replay_oracle
@@ -178,8 +178,11 @@ def test_watermarked_state_scope_dedup(spark, tmp_path):
     job = _job(tmp_path, max_files_per_trigger=1, watermark="1 hour",
                watermark_scope="state")
     stats = job.run(spark)
-    assert len(stats) == 3
-    assert stats[2].events_in == 0
+    # the stateful graph (dropDuplicatesWithinWatermark) may append one
+    # trailing NO-DATA batch under availableNow — Spark runs it to let
+    # the advanced watermark evict state; it applies nothing
+    assert len(stats) in (3, 4)
+    assert all(s.events_in == 0 for s in stats[2:])
 
     got = _final_state_pdf(_open(spark, job))
     want = replay_oracle(events).reindex(columns=got.columns)
@@ -250,6 +253,59 @@ def test_expiry_housekeeping_cadence(spark, tmp_path):
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
 
+def test_order_guard_trips_on_out_of_order_first_delivery(spark, tmp_path):
+    """Delivery-contract guard: a FIRST delivery arriving below the
+    applied high-water mark (e.g. a file source listing two
+    same-millisecond segments out of log order) fails loud instead of
+    silently mis-counting the late events as re-deliveries; verbatim
+    re-delivery of an applied segment still passes, and
+    order_guard='warn' records the violation without raising."""
+    from etl_kafka_project_spark.cdc.stream import OutOfOrderDeliveryError
+
+    spec = StreamSpec(n_events=400, n_keys=60, n_segments=4, min_lines=2, max_lines=3)
+    _, segs = generate_stream(str(tmp_path / "stream"), spec)
+    create_code_table(spark, str(tmp_path / "table"), CFG)
+    read = lambda p: spark.read.schema(EVENT_SCHEMA).parquet(p)
+
+    job = _job(tmp_path)
+    job.apply_epoch(read(segs[0]), 0)
+    job.apply_epoch(read(segs[2]), 1)  # skips segment 1: creates a gap
+    with pytest.raises(OutOfOrderDeliveryError):
+        job.apply_epoch(read(segs[1]), 2)  # gap-filling first delivery
+    # verbatim re-delivery lies inside applied intervals — no trip
+    job.apply_epoch(read(segs[0]), 3)
+    # the violation is in the epoch's lineage doc either way
+    doc = LineageLog(job.lineage_dir, job.stream_id).read_epoch(2)
+    assert doc["phases"]["order_violation"][0] <= doc["phases"]["order_violation"][1]
+
+    # warn mode: same shape records but does not raise
+    cfg = EngineConfig(n_buckets=CFG.n_buckets, order_guard="warn")
+    create_code_table(spark, str(tmp_path / "table2"), cfg)
+    job2 = ReplayJob(
+        table_root=str(tmp_path / "table2"),
+        stream_dir=str(tmp_path / "stream"),
+        checkpoint_dir=str(tmp_path / "ckpt2"),
+        config=cfg,
+    )
+    job2.apply_epoch(read(segs[0]), 0)
+    job2.apply_epoch(read(segs[2]), 1)
+    job2.apply_epoch(read(segs[1]), 2)
+    doc = LineageLog(job2.lineage_dir, job2.stream_id).read_epoch(2)
+    assert "order_violation" in doc["phases"]
+
+    # a fresh job over the same lineage rebuilds intervals on resume:
+    # re-delivery of every applied segment still passes the guard
+    job3 = ReplayJob(
+        table_root=str(tmp_path / "table2"),
+        stream_dir=str(tmp_path / "stream"),
+        checkpoint_dir=str(tmp_path / "ckpt2"),
+        config=cfg,
+    )
+    job3.apply_epoch(read(segs[2]), 3)
+    doc = LineageLog(job3.lineage_dir, job3.stream_id).read_epoch(3)
+    assert "order_violation" not in doc["phases"]
+
+
 def test_rate_controlled_continuous_tail(spark, tmp_path):
     """T8: a processingTime-triggered CONTINUOUS tail (available_now=False)
     picks up segments that arrive over time and merges them correctly —
@@ -265,9 +321,14 @@ def test_rate_controlled_continuous_tail(spark, tmp_path):
 
     job = _job(tmp_path, processing_interval="1 seconds")
     segs = sorted(segs)
-    # half the backlog exists when the tail starts...
+    # half the backlog exists when the tail starts... (mtimes re-spaced:
+    # a tight copy loop can land two segments in the same millisecond,
+    # and the file source breaks mtime ties in arbitrary listing order —
+    # an out-of-order delivery the engine's contract forbids)
+    backlog = []
     for s in segs[:3]:
-        shutil.copy(s, str(tmp_path / "stream"))
+        backlog.append(shutil.copy(s, str(tmp_path / "stream")))
+    space_mtimes(backlog)
     q = job.start(spark, available_now=False)
     try:
         deadline = time.time() + 60
