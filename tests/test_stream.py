@@ -147,7 +147,12 @@ def _dup_stream(tmp_path):
                       shuffle_within_segment=False, min_lines=2, max_lines=3)
     events, segs = generate_stream(str(tmp_path / "stream"), spec)
     dup = pd.read_parquet(segs[0]).head(20)
-    dup.to_parquet(str(tmp_path / "stream" / "segment-00002.parquet"))
+    dup_path = str(tmp_path / "stream" / "segment-00002.parquet")
+    dup.to_parquet(dup_path)
+    # re-space ALL THREE mtimes: the dup is written after generate_stream
+    # already spaced segs 0/1 five ms apart, so its natural mtime can land
+    # BETWEEN them and the file source would deliver it as epoch 1
+    space_mtimes(sorted(segs) + [dup_path])
     return events
 
 
