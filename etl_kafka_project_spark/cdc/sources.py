@@ -107,7 +107,16 @@ def kafka_binlog(
     ``kafka_interface.py``). Offsets live in the Spark checkpoint — the
     engine's epoch idempotence makes reprocessing after failover a no-op,
     reproducing commit-after-process + idempotent-sink
-    (``kafka_interface.py:74`` + ``redis_interface.py:58``) atomically."""
+    (``kafka_interface.py:74`` + ``redis_interface.py:58``) atomically.
+
+    Delivery-order contract: a multi-partition topic orders events per
+    PARTITION (hence per key under key-hash partitioning), not globally
+    — a lagging partition legally produces global lsn gaps across
+    micro-batches. The per-key order the merge requires still holds,
+    but ``EngineConfig.order_guard``'s global-interval check (built for
+    the globally-ordered segment-tail source) would flag those gaps:
+    set ``order_guard="warn"`` (or ``"off"``) when feeding a
+    multi-partition topic through ``ReplayJob.apply_epoch``."""
     reader = (
         spark.readStream.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap_servers)

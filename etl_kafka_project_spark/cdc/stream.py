@@ -364,6 +364,10 @@ class ReplayJob:
             if not hasattr(self, "_covered_schemas"):
                 self._covered_schemas: set[str] = set()
 
+            # set only by the conflict-skip branch: the winner's span,
+            # carried into the overwritten lineage doc below
+            lsn_span_carried: list[int] | None = None
+
             for attempt in range(EPOCH_COMMIT_RETRIES + 1):
                 try:
                     # additive/widening schema evolution BEFORE the
@@ -390,13 +394,26 @@ class ReplayJob:
                     if table.snapshot().has_epoch(self.stream_id, epoch_id):
                         # a concurrent retry of THIS stream won with our
                         # epoch id — exactly-once skip, same as the
-                        # crash-resume path above
+                        # crash-resume path above, INCLUDING the
+                        # lsn_range/lsn_span carry-over: overwriting the
+                        # winner's lineage doc without its span would
+                        # erase the order guard's applied-interval
+                        # evidence and trip a spurious violation on the
+                        # next verbatim re-delivery after a restart
                         stats = MergeStats(
                             epoch_id=epoch_id, events_in=0, keys=0, upserts=0,
                             deletes=0, touched_buckets=0, wall_ms=0.0,
                             per_bucket=[], skipped=True,
                             snapshot_version=table.current_version(),
                         )
+                        prev = lineage.read_epoch(epoch_id) or {}
+                        if prev.get("lsn_range"):
+                            stats.lsn_range = [int(x) for x in prev["lsn_range"]]
+                        span = prev.get("lsn_span") or prev.get("lsn_range")
+                        if span:
+                            lsn_span_carried = [int(span[0]), int(span[1])]
+                            if self.config.order_guard != "off":
+                                self._note_applied_range(*lsn_span_carried)
                         break
             else:
                 raise SnapshotConflictError(
@@ -443,7 +460,7 @@ class ReplayJob:
         # max that fall in a gap while the min does not are the only
         # shape the [min,max] summary cannot see.
         order_violation: tuple[int, int] | None = None
-        lsn_span: list[int] | None = None
+        lsn_span: list[int] | None = lsn_span_carried
         if self.config.order_guard != "off" and not stats.skipped:
             obs = dead_obs.get
             lo, hi = obs.get("lsn_min"), obs.get("lsn_max")
@@ -520,7 +537,9 @@ class ReplayJob:
             # events — vs lsn_range's fold-shaped min-of-per-key-maxima);
             # the order guard rebuilds its applied intervals from this
             extra["lsn_span"] = lsn_span
-        lineage.record(stats, dead_letters=dead_counts, extra=extra)
+        lineage.record(
+            stats, dead_letters=dead_counts, skipped=stats.skipped, extra=extra
+        )
         self.applied.append(stats)
         if order_violation is not None and self.config.order_guard == "error":
             lo, hwm = order_violation

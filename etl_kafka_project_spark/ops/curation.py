@@ -286,6 +286,50 @@ WHERE sample_rank <= {SAMPLE_PER_STRATUM}
 PACK_BUDGET = 512
 
 
+def pack_layout(df: DataFrame) -> DataFrame:
+    """THE single definition of the concat-and-chunk packing convention
+    (shared by ``pack_sequences`` and ``curated_corpus_packed`` — a
+    drifted copy would silently desynchronize the training artifact from
+    the index): over any frame carrying (source, doc_id, n_tokens),
+    adds end_offset / start_offset / pack_id / spans_boundary via one
+    running-sum window per source. Extra input columns pass through."""
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.withColumn("end_offset", F.sum("n_tokens").over(w))
+        .withColumn("start_offset", F.col("end_offset") - F.col("n_tokens"))
+        .withColumn("pack_id", F.floor(F.col("start_offset") / PACK_BUDGET))
+        .withColumn(
+            "spans_boundary",
+            F.floor((F.col("end_offset") - 1) / PACK_BUDGET) != F.col("pack_id"),
+        )
+    )
+
+
+def pack_layout_sql(base_sql: str, extra_select: str = "") -> str:
+    """DuckDB twin of :func:`pack_layout`. ``base_sql`` must select
+    ``source, doc_id, n_tokens`` (plus any passthrough columns named in
+    ``extra_select``, e.g. ``", redacted_sha256"``)."""
+    return f"""
+WITH _pack_base AS ({base_sql}),
+_pack_c AS (
+  SELECT *, sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS end_offset
+  FROM _pack_base
+)
+SELECT source, doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(end_offset - n_tokens AS BIGINT) AS start_offset,
+       CAST(floor((end_offset - n_tokens) / {PACK_BUDGET}) AS BIGINT) AS pack_id,
+       floor((end_offset - 1) / {PACK_BUDGET})
+         != floor((end_offset - n_tokens) / {PACK_BUDGET}) AS spans_boundary{extra_select}
+FROM _pack_c
+"""
+
+
 def pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
     """GPT-style concat-and-chunk packing index: documents are laid out
     in deterministic (source, doc_id) order as one token stream per
@@ -306,40 +350,15 @@ def pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id",
         F.size(F.split(F.lower("text"), " ")).alias("n_tokens"),
     )
-    w = (
-        Window.partitionBy("source")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return (
-        d.withColumn("end_offset", F.sum("n_tokens").over(w))
-        .withColumn("start_offset", F.col("end_offset") - F.col("n_tokens"))
-        .withColumn("pack_id", F.floor(F.col("start_offset") / PACK_BUDGET))
-        .withColumn(
-            "spans_boundary",
-            F.floor((F.col("end_offset") - 1) / PACK_BUDGET) != F.col("pack_id"),
-        )
-        .select(
-            "source", "doc_id", "n_tokens", "start_offset", "pack_id", "spans_boundary"
-        )
+    return pack_layout(d).select(
+        "source", "doc_id", "n_tokens", "start_offset", "pack_id", "spans_boundary"
     )
 
 
-PACK_SEQUENCES_SQL = f"""
-WITH t AS (SELECT source, doc_id,
-                  len(string_split(lower(text), ' ')) AS n_tokens FROM documents),
-c AS (SELECT source, doc_id, n_tokens,
-             sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
-                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS end_offset
-      FROM t)
-SELECT source, doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
-       CAST(end_offset - n_tokens AS BIGINT) AS start_offset,
-       CAST(floor((end_offset - n_tokens) / {PACK_BUDGET}) AS BIGINT) AS pack_id,
-       floor((end_offset - 1) / {PACK_BUDGET})
-         != floor((end_offset - n_tokens) / {PACK_BUDGET}) AS spans_boundary
-FROM c
-"""
+PACK_SEQUENCES_SQL = pack_layout_sql(
+    "SELECT source, doc_id,"
+    " len(string_split(lower(text), ' ')) AS n_tokens FROM documents"
+)
 
 
 #: SemDeDup keep threshold — tuned so the synthetic corpus exercises

@@ -449,17 +449,13 @@ def exact_substring_dup(
     branches — so the single linear pipeline is the shape that survives
     100 TB: scans dominate there, and this does exactly one. Nothing is
     O(n²): a suffix array's arbitrary-length matches are traded for
-    fixed-K granularity so the whole pass is hash-partitioned."""
-    d = load(spark, sf, "documents").withColumn(
-        "_toks", F.split(F.lower("text"), " ")
-    )
-    spans = (
-        f"CASE WHEN size(_toks) >= {k} THEN"
-        f" transform(sequence(1, size(_toks) - {k - 1}),"
-        f"  i -> md5(concat_ws(' ', slice(_toks, i, {k}))))"
-        " ELSE array(md5(lower(text))) END"
-    )
-    g = d.select("doc_id", F.explode(F.expr(spans)).alias("h"))
+    fixed-K granularity so the whole pass is hash-partitioned.
+
+    The span hashing is shared with the positional view
+    (``_span_hashes_with_pos``) so the rollup and ``exact_substring_spans``
+    stay byte-identical on tokenization and the short-doc convention."""
+    d = load(spark, sf, "documents").select("doc_id", "text")
+    g = _span_hashes_with_pos(d, k).select("doc_id", "h")
     per_doc_h = g.groupBy("h", "doc_id").agg(F.count(F.lit(1)).alias("n_occ"))
     n_docs = F.count(F.lit(1)).over(Window.partitionBy("h"))
     flagged = per_doc_h.withColumn("_dup", n_docs >= 2)
@@ -525,46 +521,67 @@ def _span_hashes_with_pos(df: DataFrame, k: int, text_col: str = "text"):
     ).select(*df.columns, F.col("_s.pos").alias("pos"), F.col("_s.h").alias("h"))
 
 
-def exact_substring_spans(
-    spark: SparkSession, sf: str, k: int = FIXTURE_SUBSTR_K
-) -> DataFrame:
-    """Positions of corpus-duplicated exact spans — the artifact Lee et
-    al.'s pipeline actually consumes: their ExactSubstr pass REMOVES the
-    duplicated bytes (keeping one occurrence), rather than dropping whole
-    documents, so the dup detector must emit WHERE each duplicate sits,
-    not just per-doc counts (`exact_substring_dup` is the rollup view of
-    the same spans).
+def substring_spans(docs: DataFrame, k: int) -> DataFrame:
+    """Positions of corpus-duplicated exact spans over any ``(doc_id,
+    text)`` frame — the artifact Lee et al.'s pipeline actually
+    consumes: their ExactSubstr pass REMOVES the duplicated bytes
+    (keeping one occurrence), rather than dropping whole documents, so
+    the dup detector must emit WHERE each duplicate sits, not just
+    per-doc counts (`exact_substring_dup` is the rollup view of the
+    same spans).
 
-    Emits one row per occurrence of a span whose hash appears in ≥2
-    documents: (doc_id, pos [1-based token index], span_md5, n_docs,
-    is_keeper).  The keeper — the single occurrence spared by a removal
-    pass — is elected deterministically as the (min doc_id, min pos)
-    occurrence of each hash, the repo's standard min-id convention, so
-    retries and cross-engine runs agree.
+    Emits one row per OCCURRENCE of a span whose hash appears in ≥2
+    documents — including repeat occurrences inside one document, which
+    a removal pass must also drop: (doc_id, pos [1-based token index],
+    span_md5, n_docs, is_keeper).  The keeper — the single occurrence
+    corpus-wide spared by a removal pass — is elected deterministically
+    as the (min doc_id, min pos) occurrence of each hash, the repo's
+    standard min-id convention, so retries and cross-engine runs agree.
 
-    Scale shape: one corpus scan; hashes + two ints shuffle, never text.
-    ``groupBy(h, doc_id)`` collapses per-doc occurrences (keeping each
-    doc's min pos per hash — position multiplicity inside one doc is
-    irrelevant to a remove-all-but-one pass and collapsing it bounds the
-    window input), then one window over ``h`` on the collapsed rows
-    computes n_docs and the keeper rank."""
-    d = load(spark, sf, "documents").select("doc_id", "text")
-    g = _span_hashes_with_pos(d, k).select("doc_id", "pos", "h")
-    per_doc = g.groupBy("h", "doc_id").agg(F.min("pos").alias("pos"))
+    Scale shape: one corpus scan; hashes + two ints shuffle, never
+    text.  ``groupBy(h, doc_id)`` collapses per-doc occurrences into a
+    bounded position set (≤ tokens-per-doc entries), ONE window over the
+    collapsed rows computes n_docs and the keeper rank, and the
+    positions re-explode after the ≥2-docs filter — the window input
+    stays one row per (hash, doc) regardless of in-doc multiplicity."""
+    g = _span_hashes_with_pos(docs.select("doc_id", "text"), k).select(
+        "doc_id", "pos", "h"
+    )
+    per_doc = g.groupBy("h", "doc_id").agg(
+        F.min("pos").alias("_min_pos"),
+        F.collect_set("pos").alias("_positions"),
+    )
     w = Window.partitionBy("h")
-    wk = Window.partitionBy("h").orderBy("doc_id", "pos")
-    out = (
+    wk = Window.partitionBy("h").orderBy("doc_id", "_min_pos")
+    flagged = (
         per_doc.withColumn("n_docs", F.count(F.lit(1)).over(w))
         .withColumn("_rk", F.row_number().over(wk))
         .filter(F.col("n_docs") >= 2)
     )
-    return out.select(
+    return flagged.select(
         "doc_id",
-        "pos",
+        F.explode("_positions").alias("pos"),
         F.col("h").alias("span_md5"),
         F.col("n_docs").cast("long").alias("n_docs"),
-        (F.col("_rk") == 1).alias("is_keeper"),
+        "_rk",
+        "_min_pos",
+    ).select(
+        "doc_id",
+        "pos",
+        "span_md5",
+        "n_docs",
+        ((F.col("_rk") == 1) & (F.col("pos") == F.col("_min_pos"))).alias(
+            "is_keeper"
+        ),
     )
+
+
+def exact_substring_spans(
+    spark: SparkSession, sf: str, k: int = FIXTURE_SUBSTR_K
+) -> DataFrame:
+    """`substring_spans` over the ``documents`` table (the registered
+    query form — see `substring_spans` for semantics and scale shape)."""
+    return substring_spans(load(spark, sf, "documents"), k)
 
 
 def exact_substr_spans_sql(k: int = FIXTURE_SUBSTR_K) -> str:
@@ -579,16 +596,17 @@ g AS (
   FROM toks, unnest(range(1, greatest(len(t) - {k - 2}, 2))) AS r(i)
   WHERE len(t) >= {k} OR i = 1
 ),
-pd AS (SELECT h, doc_id, min(pos) AS pos FROM g GROUP BY h, doc_id),
+pd AS (SELECT h, doc_id, min(pos) AS min_pos FROM g GROUP BY h, doc_id),
 ranked AS (
-  SELECT doc_id, pos, h,
+  SELECT doc_id, min_pos, h,
          count(*) OVER (PARTITION BY h) AS n_docs,
-         row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rk
+         row_number() OVER (PARTITION BY h ORDER BY doc_id, min_pos) AS rk
   FROM pd
 )
-SELECT doc_id, pos, h AS span_md5, CAST(n_docs AS BIGINT) AS n_docs,
-       rk = 1 AS is_keeper
-FROM ranked WHERE n_docs >= 2
+SELECT g.doc_id, g.pos, g.h AS span_md5, CAST(r.n_docs AS BIGINT) AS n_docs,
+       (r.rk = 1 AND g.pos = r.min_pos) AS is_keeper
+FROM g JOIN ranked r ON g.h = r.h AND g.doc_id = r.doc_id
+WHERE r.n_docs >= 2
 """
 
 
@@ -596,12 +614,25 @@ def remove_dup_spans(
     docs: DataFrame, spans: DataFrame, k: int, text_col: str = "text"
 ) -> DataFrame:
     """Span-REMOVAL composition (the second half of Lee et al.'s
-    ExactSubstr pipeline): given ``exact_substring_spans`` output, drop
-    from each document every token covered by a duplicated span it does
-    NOT keep, and return the docs with ``dedup_text`` (the surviving
-    tokens re-joined) plus ``n_removed_tokens``.  Keeper occurrences
-    survive, so exactly one copy of each duplicated span remains
-    corpus-wide.
+    ExactSubstr pipeline): given ``substring_spans`` output, drop from
+    each document every token covered by a duplicated-span occurrence it
+    does NOT keep, and return the docs with ``dedup_text`` (the
+    surviving tokens re-joined, ORIGINAL case — lowercasing exists only
+    inside the hash matching, and it never moves token boundaries, so
+    the positions index identically into the original-case tokens) plus
+    ``n_removed_tokens``.
+
+    Guarantee (exact): every token covered by a non-keeper occurrence
+    is removed, so AT MOST one copy of each duplicated span survives
+    corpus-wide.  "At most", not "exactly": when two different
+    duplicated spans overlap, removing a non-keeper occurrence of one
+    can truncate the other's keeper occurrence (e.g. docs ``b c`` /
+    ``a b c`` / ``a b`` at k=2 — doc1's non-keeper ``b c`` overlaps its
+    keeper ``a b``), and re-joining the survivors can in principle
+    form new k-grams; a fixpoint pass re-runs detector + removal until
+    no duplicated span remains.  Lee et al.'s own removal has the same
+    overlap interactions — the pipeline property that matters is that
+    duplicated text mass strictly shrinks.
 
     Scale shape: one groupBy(doc_id) collapses each doc's non-keeper
     span starts into an array (O(spans-per-doc), bounded by doc length),
@@ -615,7 +646,7 @@ def remove_dup_spans(
         .agg(F.collect_set("pos").alias("_starts"))
     )
     d = docs.join(starts, "doc_id", "left").withColumn(
-        "_toks", F.split(F.lower(text_col), " ")
+        "_toks", F.split(F.col(text_col), " ")
     )
     # token at 1-based index i survives unless some start s covers it:
     # s <= i < s + k  (a short doc's whole-doc span has s=1, k>=len)

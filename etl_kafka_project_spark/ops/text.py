@@ -8,7 +8,7 @@ is cross-checked in tests.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_kafka_project_spark.ops import load
@@ -880,7 +880,7 @@ def curated_corpus_packed(spark: SparkSession, sf: str) -> DataFrame:
     narrow columns of the KEPT rows only — content never shuffles, and
     the stream layout is order-defined (source, doc_id), so it is
     deterministic under retries."""
-    from etl_kafka_project_spark.ops.curation import PACK_BUDGET
+    from etl_kafka_project_spark.ops.curation import pack_layout
 
     kept = curated_corpus(spark, sf).select("doc_id")
     d = load(spark, sf, "documents").withColumn(
@@ -893,35 +893,21 @@ def curated_corpus_packed(spark: SparkSession, sf: str) -> DataFrame:
         F.size(F.split(F.lower("redacted_text"), " ")).cast("long").alias("n_tokens"),
         F.sha2("redacted_text", 256).alias("redacted_sha256"),
     )
-    w = (
-        Window.partitionBy("source")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return (
-        base.withColumn("end_offset", F.sum("n_tokens").over(w))
-        .withColumn("start_offset", F.col("end_offset") - F.col("n_tokens"))
-        .withColumn("pack_id", F.floor(F.col("start_offset") / PACK_BUDGET))
-        .withColumn(
-            "spans_boundary",
-            F.floor((F.col("end_offset") - 1) / PACK_BUDGET) != F.col("pack_id"),
-        )
-        .select(
-            "source",
-            "doc_id",
-            "n_tokens",
-            "start_offset",
-            "pack_id",
-            "spans_boundary",
-            "redacted_sha256",
-        )
+    return pack_layout(base).select(
+        "source",
+        "doc_id",
+        "n_tokens",
+        "start_offset",
+        "pack_id",
+        "spans_boundary",
+        "redacted_sha256",
     )
 
 
 def _curated_packed_sql() -> str:
-    from etl_kafka_project_spark.ops.curation import PACK_BUDGET
+    from etl_kafka_project_spark.ops.curation import pack_layout_sql
 
-    return f"""
+    base = f"""
 WITH kept AS ({CURATED_CORPUS_SQL}),
 red AS (
   SELECT doc_id, source,
@@ -930,27 +916,12 @@ red AS (
              '{PII_PHONE_RE}', '<PHONE>', 'g'),
              '{PII_IP_RE}', '<IP>', 'g') AS rt
   FROM documents
-),
-base AS (
-  SELECT r.source, r.doc_id,
-         CAST(len(string_split(lower(r.rt), ' ')) AS BIGINT) AS n_tokens,
-         sha256(r.rt) AS redacted_sha256
-  FROM red r JOIN kept k ON r.doc_id = k.doc_id
-),
-c AS (
-  SELECT *, sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
-                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-              AS end_offset
-  FROM base
 )
-SELECT source, doc_id, n_tokens,
-       CAST(end_offset - n_tokens AS BIGINT) AS start_offset,
-       CAST(floor((end_offset - n_tokens) / {PACK_BUDGET}) AS BIGINT) AS pack_id,
-       floor((end_offset - 1) / {PACK_BUDGET})
-         != floor((end_offset - n_tokens) / {PACK_BUDGET}) AS spans_boundary,
-       redacted_sha256
-FROM c
-"""
+SELECT r.source, r.doc_id,
+       CAST(len(string_split(lower(r.rt), ' ')) AS BIGINT) AS n_tokens,
+       sha256(r.rt) AS redacted_sha256
+FROM red r JOIN kept k ON r.doc_id = k.doc_id"""
+    return pack_layout_sql(base, extra_select=", redacted_sha256")
 
 
 QUERIES = {

@@ -119,6 +119,55 @@ def test_injected_conflict_retries_and_lands(spark, tmp_path, monkeypatch):
     assert on_disk == live
 
 
+def test_conflict_skip_preserves_winner_lsn_span(spark, tmp_path, monkeypatch):
+    """A concurrent retry of the SAME stream wins epoch 1's commit; the
+    loser takes the exactly-once skip branch. The skip must overwrite
+    the winner's lineage doc WITHOUT erasing its lsn_span/lsn_range
+    (the order guard's applied-interval evidence) and must record
+    skipped=true — otherwise a restarted job rebuilds its intervals
+    missing that epoch and a verbatim re-delivery trips a spurious
+    OutOfOrderDeliveryError (round-5 review finding)."""
+    ev, segs = _stream(tmp_path, "s1")
+    create_code_table(spark, str(tmp_path / "table"), CFG)
+    job = _job(tmp_path, "s1")
+    winner = _job(tmp_path, "s1")  # same stream id, same lineage dir
+
+    orig = LakeTable.commit
+    state = {"injected": False}
+
+    def flaky_commit(self, expected_version, *a, **kw):
+        if not state["injected"] and kw.get("epoch", (None, None)) == ("s1", 1):
+            state["injected"] = True
+            # the concurrent retry lands THE SAME epoch first (full
+            # merge + lineage record), then our CAS fails
+            winner.apply_epoch(_read_segment(spark, segs[1]), 1)
+        return orig(self, expected_version, *a, **kw)
+
+    monkeypatch.setattr(LakeTable, "commit", flaky_commit)
+    for i, seg in enumerate(segs):
+        job.apply_epoch(_read_segment(spark, seg), i)
+    monkeypatch.setattr(LakeTable, "commit", orig)
+    assert state["injected"]
+
+    # the loser skipped epoch 1 but its overwritten lineage doc keeps
+    # the winner's span evidence and is marked skipped
+    doc = LineageLog(job.lineage_dir, "s1").read_epoch(1)
+    assert doc["skipped"] is True
+    assert doc.get("lsn_span"), doc
+    assert doc.get("lsn_range"), doc
+    _compare(_final_state(spark, tmp_path), [ev])
+
+    # restart: a fresh job rebuilds its applied intervals from lineage;
+    # a verbatim re-delivery of epoch 1's events (new epoch id) must
+    # pass the order guard (lsns lie inside applied intervals), not
+    # raise OutOfOrderDeliveryError
+    job2 = _job(tmp_path, "s1")
+    job2.apply_epoch(_read_segment(spark, segs[1]), 3)
+    # all re-deliveries: the final state is unchanged (events_in is a
+    # fold throughput stat, not a state-change count)
+    _compare(_final_state(spark, tmp_path), [ev])
+
+
 @pytest.mark.slow
 def test_two_concurrent_replays_exactly_once(spark, tmp_path):
     """Two ReplayJobs (distinct streams, shared table) apply epochs from

@@ -1,7 +1,9 @@
 """ExactSubstr production parameters (round-5 VERDICT #6): K is config
 with the Lee-et-al-faithful 50-token default, the span detector emits
-positions, and the removal composition drops every non-keeper duplicated
-span so exactly one copy survives corpus-wide."""
+EVERY duplicated occurrence's position (in-doc repeats included), and
+the removal composition drops every non-keeper occurrence so at most
+one copy of each duplicated span survives corpus-wide (exactly one
+when spans don't overlap — see remove_dup_spans' contract)."""
 
 import os
 import sys
@@ -19,6 +21,7 @@ from etl_kafka_project_spark.ops.dedup import (
     exact_substring_dup,
     exact_substring_spans,
     remove_dup_spans,
+    substring_spans,
 )
 from tools.check_oracles import compare, duck_connection
 
@@ -58,30 +61,11 @@ def _fixture(spark):
     )
 
 
-def _spans_of(df, k):
-    """exact_substring_spans over an arbitrary docs frame (the
-    registered query reads the sf tables; tests reuse its internals via
-    a temp view is overkill — recompute with the same operator body by
-    monkey-loading is fragile, so just call the public pieces)."""
-    from etl_kafka_project_spark.ops.dedup import _span_hashes_with_pos
-    from pyspark.sql import Window
-
-    g = _span_hashes_with_pos(df, k).select("doc_id", "pos", "h")
-    per_doc = g.groupBy("h", "doc_id").agg(F.min("pos").alias("pos"))
-    w = Window.partitionBy("h")
-    wk = Window.partitionBy("h").orderBy("doc_id", "pos")
-    return (
-        per_doc.withColumn("n_docs", F.count(F.lit(1)).over(w))
-        .withColumn("is_keeper", F.row_number().over(wk) == 1)
-        .filter(F.col("n_docs") >= 2)
-        .select("doc_id", "pos", F.col("h").alias("span_md5"), "is_keeper")
-    )
-
-
 def test_spans_positions_and_keeper_on_hand_fixture(spark):
     docs = _fixture(spark)
     rows = sorted(
-        _spans_of(docs, 8).collect(), key=lambda r: (r["doc_id"], r["pos"])
+        substring_spans(docs, 8).collect(),
+        key=lambda r: (r["doc_id"], r["pos"]),
     )
     # exactly one duplicated hash: 'a b c d e f g h' at doc0 pos1 (the
     # keeper, min doc_id) and doc1 pos3
@@ -92,35 +76,80 @@ def test_spans_positions_and_keeper_on_hand_fixture(spark):
     assert len({r["span_md5"] for r in rows}) == 1
 
 
-def test_removal_leaves_exactly_one_copy(spark):
-    docs = _fixture(spark)
-    spans = _spans_of(docs, 8)
+def test_spans_emit_every_in_doc_occurrence(spark):
+    """A span repeated INSIDE one document yields one row per
+    occurrence — a min-pos collapse would leave the second copy alive
+    after removal (round-5 review finding)."""
+    docs = spark.createDataFrame(
+        [(0, "a b x"), (1, "a b y a b")], "doc_id long, text string"
+    )
+    spans = substring_spans(docs, 2)
+    rows = sorted(
+        spans.collect(), key=lambda r: (r["span_md5"], r["doc_id"], r["pos"])
+    )
+    dup = [(r["doc_id"], r["pos"], r["is_keeper"]) for r in rows]
+    # h('a b') occurs at (0,1) keeper, (1,1) and (1,4) non-keepers
+    assert dup == [(0, 1, True), (1, 1, False), (1, 4, False)]
     out = {
-        r["doc_id"]: r
-        for r in remove_dup_spans(docs, spans, 8).collect()
+        r["doc_id"]: r for r in remove_dup_spans(docs, spans, 2).collect()
     }
-    # keeper doc untouched; non-keeper loses its 8 covered tokens;
-    # untouched doc passes through the left join unchanged
-    assert out[0]["dedup_text"] == "a b c d e f g h x y"
-    assert out[0]["n_removed_tokens"] == 0
-    assert out[1]["dedup_text"] == "z z"
-    assert out[1]["n_removed_tokens"] == 8
-    assert out[2]["n_removed_tokens"] == 0
-    # composition invariant: recomputing the span detector on the
-    # redacted corpus finds NO duplicated span — one copy survives
-    redacted = remove_dup_spans(docs, spans, 8).select(
+    assert out[0]["dedup_text"] == "a b x"
+    assert out[1]["dedup_text"] == "y"
+    assert out[1]["n_removed_tokens"] == 4
+    # exactly one copy survives corpus-wide, and re-running the
+    # detector on the output finds nothing
+    redacted = remove_dup_spans(docs, spans, 2).select(
         "doc_id", F.col("dedup_text").alias("text")
     )
-    assert _spans_of(redacted, 8).count() == 0
+    assert substring_spans(redacted, 2).count() == 0
+
+
+def test_removal_preserves_original_case(spark):
+    """Hash matching is case-insensitive but the surviving text keeps
+    its original bytes — lowercasing the output would corrupt the
+    training artifact (round-5 review finding)."""
+    docs = spark.createDataFrame(
+        [(0, "Hello World X"), (1, "hello world Y"), (2, "No Dups HERE")],
+        "doc_id long, text string",
+    )
+    spans = substring_spans(docs, 2)
+    out = {
+        r["doc_id"]: r for r in remove_dup_spans(docs, spans, 2).collect()
+    }
+    assert out[0]["dedup_text"] == "Hello World X"  # keeper, untouched
+    assert out[1]["dedup_text"] == "Y"
+    assert out[2]["dedup_text"] == "No Dups HERE"  # no-span passthrough
+
+
+def test_overlapping_spans_remove_at_most_one_copy(spark):
+    """Documented overlap interaction: removing a non-keeper occurrence
+    of one span may truncate another span's keeper. The contract is AT
+    MOST one surviving copy (duplicated mass strictly shrinks), and a
+    fixpoint re-run converges to zero duplicated spans."""
+    docs = spark.createDataFrame(
+        [(0, "b c"), (1, "a b c"), (2, "a b")], "doc_id long, text string"
+    )
+    spans = substring_spans(docs, 2)
+    out = remove_dup_spans(docs, spans, 2)
+    redacted = out.select("doc_id", F.col("dedup_text").alias("text"))
+    # doc1's keeper 'a b' was truncated by removing its non-keeper
+    # 'b c' — zero copies of h('a b') survive, never two
+    assert substring_spans(redacted, 2).count() == 0
+    total_before = docs.select(F.sum(F.size(F.split("text", " ")))).first()[0]
+    total_after = out.select(
+        F.sum(F.size(F.split("dedup_text", " ")))
+    ).first()[0]
+    assert total_after < total_before
 
 
 def test_removal_is_monotone_on_corpus(spark):
-    """On the synthetic corpus: the removal pass strictly reduces total
-    duplicated-span mass and every non-keeper occurrence disappears."""
+    """On the synthetic corpus, driven through the REGISTERED operator:
+    the removal pass strictly reduces total duplicated-span mass and
+    every non-keeper occurrence disappears."""
     from etl_kafka_project_spark.ops.text import load
 
     docs = load(spark, SF, "documents").select("doc_id", "text")
-    spans = _spans_of(docs, FIXTURE_SUBSTR_K)
+    spans = exact_substring_spans(spark, SF, k=FIXTURE_SUBSTR_K)
     n_nonkeeper = spans.filter(~F.col("is_keeper")).count()
     if n_nonkeeper == 0:
         pytest.skip("corpus has no duplicated spans at this k")
@@ -131,6 +160,7 @@ def test_removal_is_monotone_on_corpus(spark):
     redacted = out.select("doc_id", F.col("dedup_text").alias("text"))
     before = {r["span_md5"] for r in spans.collect()}
     after = {
-        r["span_md5"] for r in _spans_of(redacted, FIXTURE_SUBSTR_K).collect()
+        r["span_md5"]
+        for r in substring_spans(redacted, FIXTURE_SUBSTR_K).collect()
     }
     assert not (before & after)
