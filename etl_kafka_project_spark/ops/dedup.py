@@ -667,6 +667,56 @@ def remove_dup_spans(
     )
 
 
+def remove_dup_spans_fixpoint(
+    docs: DataFrame, k: int, max_iters: int = 8, text_col: str = "text"
+) -> DataFrame:
+    """Iterate ``substring_spans`` + ``remove_dup_spans`` until no
+    duplicated span remains (or ``max_iters``): the closure of the
+    single removal pass over its two residual shapes — overlapping
+    spans truncating keepers, and re-joined survivors forming new
+    k-grams. Each round strictly removes ≥1 token from every doc still
+    carrying a non-keeper occurrence, so the loop terminates in at most
+    O(max doc tokens / 1) rounds; real corpora converge in 1-2.
+
+    Driver-side loop over fully distributed passes (the standard Spark
+    shape for iterative algorithms — each iteration is one scan + the
+    narrow span shuffles); the convergence probe is a count() on the
+    narrow spans frame, never on text. Returns (doc_id, dedup_text,
+    n_removed_tokens [cumulative], n_rounds)."""
+    cur = docs.select("doc_id", F.col(text_col).alias("text"))
+    removed = None
+    rounds = 0
+    for _ in range(max_iters):
+        spans = substring_spans(cur, k)
+        if spans.limit(1).count() == 0:
+            break
+        rounds += 1
+        out = remove_dup_spans(cur, spans, k)
+        step = out.select("doc_id", "n_removed_tokens")
+        removed = (
+            step
+            if removed is None
+            else removed.join(step.withColumnRenamed("n_removed_tokens", "_r"), "doc_id")
+            .select("doc_id", (F.col("n_removed_tokens") + F.col("_r")).alias("n_removed_tokens"))
+        )
+        # localCheckpoint truncates the growing iterative lineage (the
+        # standard guard against plan-depth blowup in driver loops)
+        cur = out.select(
+            "doc_id", F.col("dedup_text").alias("text")
+        ).localCheckpoint(eager=False)
+    if removed is None:
+        removed = docs.select("doc_id", F.lit(0).cast("long").alias("n_removed_tokens"))
+    return (
+        cur.join(removed, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("text").alias("dedup_text"),
+            F.coalesce("n_removed_tokens", F.lit(0)).cast("long").alias("n_removed_tokens"),
+            F.lit(rounds).cast("long").alias("n_rounds"),
+        )
+    )
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "minhash_signatures": minhash_signatures,

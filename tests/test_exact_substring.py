@@ -142,6 +142,46 @@ def test_overlapping_spans_remove_at_most_one_copy(spark):
     assert total_after < total_before
 
 
+def test_fixpoint_converges_in_two_rounds(spark):
+    """Removal can CREATE a new duplicated k-gram by re-joining
+    survivors; the fixpoint pass iterates until none remains. Here
+    deleting doc2's non-keeper 'z1 z2' makes doc2 collapse to 'm n',
+    duplicating doc1 — caught and removed in round 2."""
+    from etl_kafka_project_spark.ops.dedup import remove_dup_spans_fixpoint
+
+    docs = spark.createDataFrame(
+        [(0, "z1 z2"), (1, "m n"), (2, "m z1 z2 n")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in remove_dup_spans_fixpoint(docs, 2).collect()
+    }
+    assert out[0]["dedup_text"] == "z1 z2"
+    assert out[1]["dedup_text"] == "m n"
+    assert out[2]["dedup_text"] == ""
+    assert out[2]["n_removed_tokens"] == 4  # 2 in round 1, 2 in round 2
+    assert out[0]["n_rounds"] == 2
+    final = spark.createDataFrame(
+        [(k, v["dedup_text"]) for k, v in out.items()],
+        "doc_id long, text string",
+    )
+    assert substring_spans(final, 2).count() == 0
+
+
+def test_fixpoint_noop_on_clean_corpus(spark):
+    from etl_kafka_project_spark.ops.dedup import remove_dup_spans_fixpoint
+
+    docs = spark.createDataFrame(
+        [(0, "all distinct words"), (1, "other tokens entirely")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in remove_dup_spans_fixpoint(docs, 2).collect()}
+    assert rows[0]["dedup_text"] == "all distinct words"
+    assert rows[0]["n_removed_tokens"] == 0
+    assert rows[0]["n_rounds"] == 0
+
+
 def test_removal_is_monotone_on_corpus(spark):
     """On the synthetic corpus, driven through the REGISTERED operator:
     the removal pass strictly reduces total duplicated-span mass and
