@@ -132,7 +132,16 @@ def expire_snapshots(
             return False  # concurrently removed/renamed — not ours
 
     current = table.current_version()
-    keep_versions = [v for v in range(max(0, current - keep_last + 1), current + 1)]
+    floor = max(0, current - keep_last + 1)
+    snap_dir = os.path.join(table.root, "snapshots")
+    # a version inside the window may already be gone (an earlier run
+    # with a smaller keep_last deleted it) — retain what exists, never
+    # abort the vacuum on a historical gap
+    keep_versions = [
+        v
+        for v in range(floor, current + 1)
+        if os.path.exists(os.path.join(snap_dir, f"v{v}.json"))
+    ]
     retained_files: set[str] = set()
     retained_manifests: set[str] = set()
     for v in keep_versions:
@@ -141,12 +150,15 @@ def expire_snapshots(
         retained_manifests |= {m["path"] for m in snap.manifests.values()}
 
     removed_snaps = 0
-    snap_dir = os.path.join(table.root, "snapshots")
     for fn in os.listdir(snap_dir):
         if not (fn.startswith("v") and fn.endswith(".json")):
             continue
         v = int(fn[1:-5])
-        if v not in keep_versions:
+        # strictly below the floor only: a snapshot NEWER than the
+        # captured current version is a commit that raced this vacuum —
+        # deleting it would wedge the table (pointer ahead of the
+        # newest JSON) and orphan the epoch's just-committed data
+        if v < floor:
             os.remove(os.path.join(snap_dir, fn))
             removed_snaps += 1
 

@@ -439,8 +439,11 @@ class LakeTable:
         parquet footers into the manifest for read-time file pruning.
         """
         if stats_columns is None:
+            # header read only: this default runs on the per-epoch write
+            # hot path, and assembling every bucket's manifest just to
+            # read props would be O(n_buckets) file opens per epoch
             try:
-                stats_columns = list(self.snapshot().props["key_columns"])
+                stats_columns = list(self.snapshot_header().props["key_columns"])
             except FileNotFoundError:
                 stats_columns = []
         staging = os.path.join(self.root, f"_staging-{uuid.uuid4().hex}")

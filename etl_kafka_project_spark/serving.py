@@ -81,6 +81,15 @@ def search(
     if order_by:
         out = out.orderBy(*order_by)
     if offset:
+        if not order_by:
+            # offset over an unordered multi-partition scan has no
+            # stable row order across queries — page 2 could repeat or
+            # skip page-1 rows. The serve endpoint defaults order_by to
+            # the table's key columns; library callers must choose.
+            raise ValueError(
+                "search(offset=...) requires order_by for stable"
+                " pagination (e.g. the table's key columns)"
+            )
         out = out.offset(offset)
     return out.limit(limit) if limit is not None else out
 
@@ -114,6 +123,38 @@ def _changelog_globs(table_root: str) -> tuple[str, list[str]]:
     return path, layouts
 
 
+def _dir_max_lsn(epoch_dir: str) -> int | None:
+    """Max lsn of one changelog epoch dir from the parquet footers only
+    (driver-side, no Spark job) — the epoch's content signature, used to
+    decide whether a legacy flat ``epoch=<n>`` dir and a same-numbered
+    ``stream=*/epoch=<n>`` dir are the SAME epoch (crash-retry rewrite
+    after the layout migration) or an id collision across streams.
+    Feed-shaped dirs carry ``lsn``, delta-shaped ``_max_lsn``. Returns
+    None when no footer stat exists (caller must then keep both sides —
+    losing a legacy epoch is worse than double-reading one)."""
+    try:
+        import pyarrow.parquet as pq
+    except ImportError:  # pragma: no cover
+        return None
+    best: int | None = None
+    for fn in os.listdir(epoch_dir):
+        if not fn.endswith(".parquet"):
+            continue
+        try:
+            md = pq.ParquetFile(os.path.join(epoch_dir, fn)).metadata
+        except OSError:
+            continue
+        names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        col = names.get("lsn", names.get("_max_lsn"))
+        if col is None:
+            continue
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(col).statistics
+            if st is not None and st.has_min_max:
+                best = st.max if best is None else max(best, st.max)
+    return best
+
+
 def _feed_from_delta(df: DataFrame) -> DataFrame:
     """Project delta-shaped changelog files (the MOR merge hardlinks
     each epoch's committed delta files into the feed dir instead of
@@ -142,7 +183,11 @@ def _feed_from_delta(df: DataFrame) -> DataFrame:
         if c not in meta
         and c not in part_cols
         and c not in payload
-        and c[: -len("_lsn")] not in payload
+        # only an actual *_lsn twin marks a bookkeeping column — without
+        # the suffix test a KEY whose name minus 4 chars collides with a
+        # payload name (e.g. key 'name_enc' vs payload 'name') would be
+        # silently dropped from the feed
+        and not (c.endswith("_lsn") and c[: -len("_lsn")] in payload)
     ]
     return df.select(
         *keys,
@@ -176,8 +221,11 @@ def read_changelog(
     stream=* after a layout migration leaves its flat epoch=<n> dir
     behind; reading both would surface that epoch twice (harmless for
     apply_changelog's max_by fold, double-counted by counting
-    consumers) — flat epoch dirs whose id also exists under ANY
-    stream=* dir are superseded and excluded."""
+    consumers) — a flat epoch dir is superseded and excluded only when
+    a same-numbered stream=* dir PROVES it is the same epoch (equal max
+    lsn from the parquet footers — epoch ids are per-stream counters,
+    so a bare id match against some OTHER stream must not mask an
+    unrelated legacy epoch)."""
     import glob as _glob
 
     from etl_kafka_project_spark.cdc.merge import DELTA_LAYOUT_MARKER
@@ -185,19 +233,37 @@ def read_changelog(
     path, _ = _changelog_globs(table_root)
     nested = sorted(_glob.glob(os.path.join(path, "stream=*", "epoch=*")))
     flat = sorted(_glob.glob(os.path.join(path, "epoch=*")))
-    migrated = {os.path.basename(p) for p in nested}
-    delta_dirs = [
+    nested_by_epoch: dict[str, list[str]] = {}
+    for p in nested:
+        nested_by_epoch.setdefault(os.path.basename(p), []).append(p)
+    delta_set = {
         p for p in nested if os.path.exists(os.path.join(p, DELTA_LAYOUT_MARKER))
-    ]
-    feed_nested = [p for p in nested if p not in set(delta_dirs)]
-    feed_flat = [p for p in flat if os.path.basename(p) not in migrated]
+    }
+    delta_dirs = [p for p in nested if p in delta_set]
+    feed_nested = [p for p in nested if p not in delta_set]
+    def _superseded(flat_dir: str) -> bool:
+        sig = _dir_max_lsn(flat_dir)
+        if sig is None:
+            return False
+        return any(
+            _dir_max_lsn(twin) == sig
+            for twin in nested_by_epoch.get(os.path.basename(flat_dir), ())
+        )
+
+    feed_flat = [p for p in flat if not _superseded(p)]
 
     parts = []
+    # mergeSchema on every branch: files written before a schema
+    # evolution lack the evolved columns; merged footers null-fill them
+    # (a single-footer-inferred schema would silently DROP the evolved
+    # payload from the whole feed)
     if feed_nested:
-        parts.append(spark.read.option("basePath", path).parquet(*feed_nested))
+        parts.append(
+            spark.read.option("basePath", path)
+            .option("mergeSchema", "true")
+            .parquet(*feed_nested)
+        )
     if delta_dirs:
-        # mergeSchema: delta files written before a schema evolution
-        # lack the evolved columns; merged footers null-fill them
         parts.append(
             _feed_from_delta(
                 spark.read.option("basePath", path)
@@ -208,6 +274,7 @@ def read_changelog(
     if feed_flat:
         parts.append(
             spark.read.option("basePath", path)
+            .option("mergeSchema", "true")
             .parquet(*feed_flat)
             .withColumn("stream", F.lit(None).cast("string"))
         )
@@ -240,11 +307,27 @@ def stream_changelog(spark: SparkSession, table_root: str) -> DataFrame:
     # one layout per subscription (mixed partition depths can't share a
     # basePath); prefer the current stream=*/epoch=* layout
     glob = layouts[0]
-    delta_shaped = any(
-        os.path.exists(os.path.join(p, DELTA_LAYOUT_MARKER))
-        for p in _glob.glob(os.path.join(path, "stream=*", "epoch=*"))
+    nested = _glob.glob(os.path.join(path, "stream=*", "epoch=*"))
+    n_delta = sum(
+        os.path.exists(os.path.join(p, DELTA_LAYOUT_MARKER)) for p in nested
     )
-    schema = spark.read.option("basePath", path).parquet(glob).schema
+    if 0 < n_delta < len(nested):
+        # mixed delta/feed epochs under one glob: a single stream schema
+        # would null-fill one shape into the other (deletes silently
+        # become op='U' with null lsn). The batch reader unifies shapes.
+        raise ValueError(
+            f"changelog under {path} mixes delta-linked and feed-shaped"
+            " epochs (merge_mode changed mid-life?): use read_changelog"
+            " for mixed-era tables — a file stream needs one shape"
+        )
+    delta_shaped = n_delta > 0
+    # mergeSchema: pre-evolution epochs lack the evolved columns
+    schema = (
+        spark.read.option("basePath", path)
+        .option("mergeSchema", "true")
+        .parquet(glob)
+        .schema
+    )
     out = spark.readStream.schema(schema).option("basePath", path).parquet(glob)
     return _feed_from_delta(out) if delta_shaped else out
 
@@ -319,5 +402,12 @@ def point_lookup(spark: SparkSession, table_root: str, exact: dict | None) -> Da
     ).select(
         *[F.col(k).cast(snap.schema[k].dataType).alias(k) for k in keys]
     )
-    bucket = one.select(table.bucket_expr(snap).alias("_b")).collect()[0]["_b"]
-    return table.read(buckets={int(bucket)}, key_equals=vals)
+    # one collect carries the bucket AND the key values in their TABLE
+    # types: the manifest's [min, max] pruning compares natively, so a
+    # string passed against an int-keyed table's stats would TypeError
+    row = one.select(
+        table.bucket_expr(snap).alias("_b"), *keys
+    ).collect()[0]
+    return table.read(
+        buckets={int(row["_b"])}, key_equals={k: row[k] for k in keys}
+    )

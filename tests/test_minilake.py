@@ -249,3 +249,53 @@ def test_vacuum_age_gates_young_orphans(spark, tmp_table_dir):
     t.commit(2, new_files=staged, replaced_buckets={f.bucket for f in staged})
     got = {(r.repo, r.path, r.n) for r in t.read().collect()}
     assert ("r9", "p9", 99) in got
+
+
+def test_vacuum_never_deletes_snapshots_newer_than_its_read(
+    spark, tmp_table_dir, monkeypatch
+):
+    """A commit can land AFTER the vacuum captures current_version but
+    BEFORE it lists the snapshot dir: the racing snapshot JSON is newer
+    than the captured version and must survive (deleting it wedges the
+    table — pointer ahead of the newest JSON — and orphans the epoch's
+    committed data). Round-5 review finding."""
+    import os
+
+    from etl_kafka_project_spark.cdc.compaction import expire_snapshots
+
+    t = _mk(spark, tmp_table_dir)
+    for i in range(3):
+        df = spark.createDataFrame([("r1", "p1", i)], SCHEMA)
+        files = t.write_data_files(df.withColumn("_bucket", t.bucket_expr()))
+        t.commit(i, new_files=files, replaced_buckets={f.bucket for f in files})
+    # freeze the vacuum's view at v2 while a concurrent commit lands v3
+    real = t.current_version()  # 3
+    monkeypatch.setattr(
+        type(t), "current_version", lambda self: real - 1, raising=True
+    )
+    # default grace: the racing commit's young data files are the
+    # grace period's job — the snapshot JSON has no mtime gate, which
+    # is exactly what this test pins
+    expire_snapshots(t, keep_last=1)
+    monkeypatch.undo()
+    # the racing v3 snapshot survives and the table still reads at it
+    assert os.path.exists(os.path.join(tmp_table_dir, "snapshots", "v3.json"))
+    assert t.current_version() == 3
+    assert {(r.repo, r.path, r.n) for r in t.read().collect()} == {("r1", "p1", 2)}
+
+
+def test_vacuum_survives_keep_last_growth(spark, tmp_table_dir):
+    """Raising keep_last between runs puts already-deleted versions back
+    inside the retention window; the vacuum must retain what exists, not
+    abort on the historical gap. Round-5 review finding."""
+    from etl_kafka_project_spark.cdc.compaction import expire_snapshots
+
+    t = _mk(spark, tmp_table_dir)
+    for i in range(4):
+        df = spark.createDataFrame([("r1", "p1", i)], SCHEMA)
+        files = t.write_data_files(df.withColumn("_bucket", t.bucket_expr()))
+        t.commit(i, new_files=files, replaced_buckets={f.bucket for f in files})
+    expire_snapshots(t, keep_last=1, orphan_grace_sec=0.0)  # deletes v0..v3
+    stats = expire_snapshots(t, keep_last=4, orphan_grace_sec=0.0)  # window grows
+    assert stats["snapshots_removed"] == 0
+    assert {(r.repo, r.path, r.n) for r in t.read().collect()} == {("r1", "p1", 3)}

@@ -64,14 +64,24 @@ class ServeSession:
                 df = serving.point_lookup(self.spark, self.table_root, req.get("exact"))
                 if df is None:
                     df = serving.latest(self.spark, self.table_root)
+                offset = int(req.get("offset", 0))
+                order_by = req.get("order_by")
+                if offset and not order_by:
+                    # stable pagination needs a total order; default to
+                    # the table's key columns (header read, no manifests)
+                    order_by = list(
+                        LakeTable(self.spark, self.table_root)
+                        .snapshot_header()
+                        .props["key_columns"]
+                    )
                 out = serving.search(
                     df,
                     text=req.get("text"),
                     tags=req.get("tags"),
                     exact=req.get("exact"),
-                    offset=int(req.get("offset", 0)),
+                    offset=offset,
                     limit=req.get("limit", serving.DEFAULT_LIMIT),
-                    order_by=req.get("order_by"),
+                    order_by=order_by,
                 )
                 return {"ok": True, "rows": _rows(serving.fill_none(out))}
             if op == "changelog":
