@@ -125,7 +125,9 @@ IVF_UPDATE_SQL = """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 c AS (SELECT vec_id AS centroid_id, v AS c FROM e WHERE vec_id <= 3),
 scored AS (
-  SELECT vec_id, centroid_id, list_cosine_similarity(v, c) AS cos FROM e, c
+  -- assignment orders by the 6dp-rounded cosine, matching
+  -- ivf_coarse_assignment on the Spark side (cross-engine near-tie safety)
+  SELECT vec_id, centroid_id, round(list_cosine_similarity(v, c), 6) AS cos FROM e, c
 ),
 assign AS (
   SELECT vec_id, centroid_id FROM (

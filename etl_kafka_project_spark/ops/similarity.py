@@ -15,6 +15,14 @@ embedding: array<float> dim-64, label).
 
 Floats are cast to double before arithmetic so Spark's fold and DuckDB's
 list functions agree to well below the 6-decimal rounding.
+
+Every ranking that DECIDES output rows (top-k cuts, nearest-centroid
+windows, probed-centroid picks) orders by the cosine ROUNDED to the same
+6 decimals used for display, in both the Spark form and the DuckDB
+oracle. Ordering on the raw double would let a near-tie flip across
+engines (different float-summation order) and cascade into a different
+row set — the latent flake ADVICE.md flagged on ``semdedup_prune``'s
+assignment window; fixed identically here.
 """
 
 from __future__ import annotations
@@ -59,13 +67,9 @@ def ann_bruteforce_topk(spark: SparkSession, sf: str) -> DataFrame:
     scored = (
         e.filter(F.col("vec_id") != 0)
         .crossJoin(F.broadcast(q))
-        .select("vec_id", _cosine("v", "q").alias("_cos"))
+        .select("vec_id", F.round(_cosine("v", "q"), 6).alias("cosine"))
     )
-    return (
-        scored.orderBy(F.desc("_cos"), "vec_id")
-        .limit(5)
-        .select("vec_id", F.round("_cos", 6).alias("cosine"))
-    )
+    return scored.orderBy(F.desc("cosine"), "vec_id").limit(5)
 
 
 ANN_BRUTEFORCE_SQL = """
@@ -73,7 +77,7 @@ WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 q AS (SELECT v AS q FROM e WHERE vec_id = 0)
 SELECT vec_id, round(list_cosine_similarity(v, q), 6) AS cosine
 FROM e, q WHERE vec_id <> 0
-ORDER BY list_cosine_similarity(v, q) DESC, vec_id
+ORDER BY cosine DESC, vec_id
 LIMIT 5
 """
 
@@ -120,13 +124,13 @@ def ivf_coarse_assignment(spark: SparkSession, sf: str) -> DataFrame:
         F.col("vec_id").alias("centroid_id"), F.col("v").alias("c")
     )
     scored = e.crossJoin(F.broadcast(cents)).select(
-        "vec_id", "centroid_id", _cosine("v", "c").alias("_cos")
+        "vec_id", "centroid_id", F.round(_cosine("v", "c"), 6).alias("cosine")
     )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("_cos"), "centroid_id")
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), "centroid_id")
     return (
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") == 1)
-        .select("vec_id", "centroid_id", F.round("_cos", 6).alias("cosine"))
+        .select("vec_id", "centroid_id", "cosine")
     )
 
 
@@ -134,7 +138,7 @@ IVF_SQL = """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 c AS (SELECT vec_id AS centroid_id, v AS c FROM e WHERE vec_id <= 3),
 scored AS (
-  SELECT vec_id, centroid_id, list_cosine_similarity(v, c) AS cos
+  SELECT vec_id, centroid_id, round(list_cosine_similarity(v, c), 6) AS cos
   FROM e, c
 ),
 ranked AS (
@@ -142,7 +146,7 @@ ranked AS (
          row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, centroid_id) AS rk
   FROM scored
 )
-SELECT vec_id, centroid_id, round(cos, 6) AS cosine FROM ranked WHERE rk = 1
+SELECT vec_id, centroid_id, cos AS cosine FROM ranked WHERE rk = 1
 """
 
 
@@ -164,13 +168,13 @@ def ivf_query_topk(spark: SparkSession, sf: str) -> DataFrame:
     q = e.filter(F.col("vec_id") == 0).select(F.col("v").alias("q"))
     probed = (
         cents.crossJoin(F.broadcast(q))
-        .select("centroid_id", _cosine("c", "q").alias("_qc"))
+        .select("centroid_id", F.round(_cosine("c", "q"), 6).alias("_qc"))
         .orderBy(F.desc("_qc"), "centroid_id")
         .limit(2)
         .select("centroid_id")
     )
     scored = e.crossJoin(F.broadcast(cents)).select(
-        "vec_id", "centroid_id", _cosine("v", "c").alias("_cos")
+        "vec_id", "centroid_id", F.round(_cosine("v", "c"), 6).alias("_cos")
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("_cos"), "centroid_id")
     assign = (
@@ -182,13 +186,9 @@ def ivf_query_topk(spark: SparkSession, sf: str) -> DataFrame:
     ranked = (
         cand.join(e, "vec_id")
         .crossJoin(F.broadcast(q))
-        .select("vec_id", "centroid_id", _cosine("v", "q").alias("_cos"))
+        .select("vec_id", "centroid_id", F.round(_cosine("v", "q"), 6).alias("cosine"))
     )
-    return (
-        ranked.orderBy(F.desc("_cos"), "vec_id")
-        .limit(5)
-        .select("vec_id", "centroid_id", F.round("_cos", 6).alias("cosine"))
-    )
+    return ranked.orderBy(F.desc("cosine"), "vec_id").limit(5)
 
 
 IVF_QUERY_SQL = """
@@ -197,13 +197,13 @@ c AS (SELECT vec_id AS centroid_id, v AS c FROM e WHERE vec_id <= 3),
 q AS (SELECT v AS q FROM e WHERE vec_id = 0),
 probed AS (
   SELECT centroid_id FROM c, q
-  ORDER BY list_cosine_similarity(c, q) DESC, centroid_id LIMIT 2
+  ORDER BY round(list_cosine_similarity(c, q), 6) DESC, centroid_id LIMIT 2
 ),
 assign AS (
   SELECT vec_id, centroid_id FROM (
     SELECT e.vec_id, c.centroid_id,
            row_number() OVER (PARTITION BY e.vec_id
-                              ORDER BY list_cosine_similarity(e.v, c.c) DESC,
+                              ORDER BY round(list_cosine_similarity(e.v, c.c), 6) DESC,
                                        c.centroid_id) AS rk
     FROM e, c
   ) WHERE rk = 1
@@ -214,7 +214,7 @@ FROM assign a
 JOIN probed p ON a.centroid_id = p.centroid_id
 JOIN e ON e.vec_id = a.vec_id, q
 WHERE e.vec_id <> 0
-ORDER BY list_cosine_similarity(e.v, q.q) DESC, e.vec_id
+ORDER BY cosine DESC, e.vec_id
 LIMIT 5
 """
 
@@ -248,11 +248,17 @@ def _dataset_fingerprint(sf: str) -> str:
     return hashlib.md5("|".join(parts).encode()).hexdigest()[:12]
 
 
+#: bump when the assignment semantics change (v2: nearest-centroid
+#: window orders by the 6dp-ROUNDED cosine) so cached indexes built
+#: under the old ordering are never served
+_IVF_FORMAT = "v2"
+
+
 def ivf_index_dir(sf: str) -> str:
     """Stable on-disk location of the materialized index for a dataset —
     keyed by path AND a data fingerprint (file sizes + mtimes), so an
     in-place rewrite of the embeddings invalidates the cached index."""
-    return os.path.join(_IVF_ROOT, f"index-{_dataset_fingerprint(sf)}")
+    return os.path.join(_IVF_ROOT, f"index-{_IVF_FORMAT}-{_dataset_fingerprint(sf)}")
 
 
 def build_ivf_index(spark: SparkSession, sf: str, index_dir: str | None = None) -> str:
@@ -278,7 +284,7 @@ def build_ivf_index(spark: SparkSession, sf: str, index_dir: str | None = None) 
         F.col("vec_id").alias("centroid_id"), F.col("v").alias("c")
     )
     scored = e.crossJoin(F.broadcast(cents)).select(
-        "vec_id", "v", "centroid_id", _cosine("v", "c").alias("_cos")
+        "vec_id", "v", "centroid_id", F.round(_cosine("v", "c"), 6).alias("_cos")
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("_cos"), "centroid_id")
     assign = (
@@ -312,7 +318,7 @@ def ivf_query_topk_indexed(spark: SparkSession, sf: str) -> DataFrame:
         r["centroid_id"]
         for r in (
             cents.crossJoin(F.broadcast(q))
-            .select("centroid_id", _cosine("c", "q").alias("_qc"))
+            .select("centroid_id", F.round(_cosine("c", "q"), 6).alias("_qc"))
             .orderBy(F.desc("_qc"), "centroid_id")
             .limit(NPROBE)
             .collect()
@@ -328,13 +334,9 @@ def ivf_query_topk_indexed(spark: SparkSession, sf: str) -> DataFrame:
     ranked = cand.crossJoin(F.broadcast(q)).select(
         "vec_id",
         F.col("centroid_id").cast("long").alias("centroid_id"),
-        _cosine("v", "q").alias("_cos"),
+        F.round(_cosine("v", "q"), 6).alias("cosine"),
     )
-    return (
-        ranked.orderBy(F.desc("_cos"), "vec_id")
-        .limit(5)
-        .select("vec_id", "centroid_id", F.round("_cos", 6).alias("cosine"))
-    )
+    return ranked.orderBy(F.desc("cosine"), "vec_id").limit(5)
 
 
 QUERIES = {
