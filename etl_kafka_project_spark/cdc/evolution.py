@@ -111,7 +111,9 @@ def evolve_table(table: LakeTable, batch_schema: T.StructType) -> tuple[Snapshot
     follows; re-running after a crash is a no-op (the diff comes back
     empty), so crash-between-ALTER-and-merge cannot double-apply anything.
     Returns the (possibly new) current snapshot and the plan (the caller
-    inspects ``plan.incompatible`` to dead-letter those columns' events).
+    inspects ``plan.incompatible`` to dead-letter those columns' events —
+    the streaming path does this in ``ReplayJob.apply_epoch`` via
+    ``_incompatible_columns`` / ``_quarantined``).
     """
     # header-only read: the diff needs schema+version, not the file
     # listing — materializing every bucket manifest per epoch is O(table)

@@ -209,6 +209,51 @@ class ReplayJob:
     def _note_applied_range(self, lo: int, hi: int) -> None:
         self._lsn_ranges = _coalesce_ranges(self._applied_lsn_ranges() + [[lo, hi]])
 
+    # ---------- incompatible-type dead letters ----------
+
+    def _incompatible_columns(self, table: LakeTable, batch_schema: T.StructType) -> list[str]:
+        """Payload columns whose batch type can neither match nor safely
+        widen the stored type (``diff_schemas`` verdict, SURVEY §4.2:
+        incompatible changes → dead letter). Cached per batch schema:
+        table schemas only ever widen, and the widening chains are
+        disjoint families, so a column's incompatibility verdict for a
+        given batch schema never changes — the hot path pays one dict
+        lookup."""
+        fp = batch_schema.json()
+        if not hasattr(self, "_incompat_cache"):
+            self._incompat_cache: dict[str, list[str]] = {}
+        if fp not in self._incompat_cache:
+            from etl_kafka_project_spark.cdc.evolution import diff_schemas
+
+            plan = diff_schemas(table.snapshot_header().schema, batch_schema)
+            self._incompat_cache[fp] = sorted(n for n, _, _ in plan.incompatible)
+        return self._incompat_cache[fp]
+
+    @staticmethod
+    def _incompat_predicate(bad_cols: list[str]) -> F.Column:
+        cond = F.lit(False)
+        for c in bad_cols:
+            cond = cond | F.col(c).isNotNull()
+        return cond
+
+    def _quarantined(self, batch_df: DataFrame, bad_cols: list[str]) -> DataFrame:
+        """The epoch's full dead-letter frame: envelope-invalid rows
+        (``split_dead_letters`` reasons) plus envelope-VALID rows that
+        carry a non-null value in an incompatibly-typed column — merging
+        those would silently coerce (string→int null-fills, int→string
+        stringifies) instead of honoring the evolve contract."""
+        from etl_kafka_project_spark.cdc.envelope import dead_letter_reason
+
+        _, dead = split_dead_letters(batch_df)
+        if bad_cols:
+            incompat = batch_df.filter(
+                dead_letter_reason().isNull() & self._incompat_predicate(bad_cols)
+            ).withColumn(
+                "_dead_reason", F.lit("incompatible_type:" + "+".join(bad_cols))
+            )
+            dead = dead.unionByName(incompat)
+        return dead
+
     # ---------- the foreachBatch body ----------
 
     def apply_epoch(self, batch_df: DataFrame, epoch_id: int) -> MergeStats:
@@ -238,8 +283,8 @@ class ReplayJob:
             # unwritten — detect (no marker dir) and heal, idempotently.
             dead_counts = {}
             if not os.path.exists(dead_path):
-                _, dead = split_dead_letters(batch_df)
-                dead.write.mode("overwrite").parquet(dead_path)
+                bad = self._incompatible_columns(table, batch_df.schema)
+                self._quarantined(batch_df, bad).write.mode("overwrite").parquet(dead_path)
                 dead_counts = _dead_letter_counts(dead_path)
             stats = MergeStats(
                 epoch_id=epoch_id, events_in=0, keys=0, upserts=0, deletes=0,
@@ -323,6 +368,15 @@ class ReplayJob:
             )
             batch = batch_df.observe(dead_obs, *obs_exprs)
             valid, _ = split_dead_letters(batch)
+
+            # incompatible-typed columns (rare; driver-side schema diff,
+            # cached per batch schema): rows carrying a non-null value
+            # there dead-letter — the merge must never silently coerce
+            # them — and the column drops from the merge input so
+            # align_events null-fills it like any absent column
+            bad_cols = self._incompatible_columns(table, valid.schema)
+            if bad_cols:
+                valid = valid.filter(~self._incompat_predicate(bad_cols)).drop(*bad_cols)
 
             # watermarked cross-epoch dedup, "committed" scope: every
             # event at or below this stream's committed high-water mark
@@ -427,9 +481,10 @@ class ReplayJob:
             # per-reason counts come from the written files' metadata —
             # no dedicated counting job. The merge job above always runs
             # (even for an empty batch), so the observation never blocks.
-            if int(dead_obs.get["n_dead"] or 0) > 0:
-                _, dead = split_dead_letters(batch_df)
-                dead.write.mode("overwrite").parquet(dead_path)
+            if int(dead_obs.get["n_dead"] or 0) > 0 or bad_cols:
+                self._quarantined(batch_df, bad_cols).write.mode("overwrite").parquet(
+                    dead_path
+                )
                 dead_counts = _dead_letter_counts(dead_path)
             else:
                 # zero-dead marker: lets the crash-resume skip path tell

@@ -140,6 +140,78 @@ def test_dead_letters_quarantined(spark, tmp_path):
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
 
+def test_incompatible_column_dead_letters(spark, tmp_path):
+    """A payload column arriving with an incompatible type (lang as long
+    where the table stores string) must dead-letter its non-null carriers
+    whole-row with reason ``incompatible_type:<col>`` and merge the rest
+    with the column treated as absent — never a silent cast (string→int
+    would null-fill, int→string would stringify). SURVEY §4.2 item 4."""
+    import datetime
+
+    from pyspark.sql import types as T
+
+    create_code_table(spark, str(tmp_path / "table"), CFG)
+    job = _job(tmp_path)
+    ts = datetime.datetime(2024, 1, 1)
+    schema = T.StructType(
+        [
+            T.StructField("lsn", T.LongType()),
+            T.StructField("op", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("repo", T.StringType()),
+            T.StructField("path", T.StringType()),
+            T.StructField("commit", T.StringType()),
+            T.StructField("lang", T.LongType()),  # table stores string
+            T.StructField("content", T.StringType()),
+        ]
+    )
+    rows = [
+        (1, "I", ts, "r0", "a.py", "c1", 7, "body-a"),  # bad lang → dead
+        (2, "I", ts, "r0", "b.py", "c2", None, "body-b"),  # null lang → applies
+        (3, "U", ts, "r0", "c.py", None, 9, None),  # bad lang → dead
+    ]
+    stats = job.apply_epoch(spark.createDataFrame(rows, schema), 0)
+    assert not stats.skipped
+
+    # only the null-lang insert applied; lang never silently coerced
+    state = _open(spark, job).read().toPandas()
+    assert state["path"].tolist() == ["b.py"] and state["lang"].isna().all()
+    # table schema unchanged: no incompatible ALTER ever commits
+    assert (
+        _open(spark, job).snapshot().schema["lang"].dataType == T.StringType()
+    )
+
+    dead = spark.read.parquet(os.path.join(job.dead_letter_dir, "epoch=0")).toPandas()
+    assert sorted(dead["lsn"]) == [1, 3]
+    assert set(dead["_dead_reason"]) == {"incompatible_type:lang"}
+    docs = LineageLog(job.lineage_dir, job.stream_id).read_all()
+    assert docs[-1]["dead_letters"] == {"incompatible_type:lang": 2}
+
+    # steady state: the cached per-schema verdict quarantines epoch 1's
+    # bad-lang update whole-row — its content must NOT half-apply
+    rows2 = [(4, "U", ts, "r0", "b.py", None, 11, "body-b2")]
+    job.apply_epoch(spark.createDataFrame(rows2, schema), 1)
+    state2 = _open(spark, job).read().toPandas()
+    assert state2["content"].tolist() == ["body-b"]
+    dead2 = spark.read.parquet(os.path.join(job.dead_letter_dir, "epoch=1")).toPandas()
+    assert dead2["lsn"].tolist() == [4]
+
+    # crash-resume heal: quarantine lost → the retry rewrites it with
+    # the incompatible rows included and still applies nothing (an
+    # all-quarantined epoch folds empty, so no snapshot ever commits —
+    # the retry is a natural no-op, same as an all-redelivered epoch)
+    import shutil
+
+    v_before = _open(spark, job).current_version()
+    shutil.rmtree(os.path.join(job.dead_letter_dir, "epoch=1"))
+    s3 = job.apply_epoch(spark.createDataFrame(rows2, schema), 1)
+    assert s3.events_in == 0 and s3.keys == 0
+    assert _open(spark, job).current_version() == v_before
+    dead3 = spark.read.parquet(os.path.join(job.dead_letter_dir, "epoch=1")).toPandas()
+    assert dead3["lsn"].tolist() == [4]
+    assert set(dead3["_dead_reason"]) == {"incompatible_type:lang"}
+
+
 def _dup_stream(tmp_path):
     """400 events in 2 segments + 20 of segment 0's events re-delivered
     verbatim as a third segment (the cross-epoch duplicate scenario)."""
