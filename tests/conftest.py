@@ -8,6 +8,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from etl_kafka_project_spark.session import build_session
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running end-to-end case (minutes, not seconds)"
+    )
+
+
 @pytest.fixture(scope="session")
 def spark():
     s = build_session(
