@@ -491,19 +491,22 @@ the highest per-level throughput of any campaign).
         # statistic, never the more favorable of the two).
         md += (
             "\n**Headline absolute result: N -> 4N scaling efficiency >= 0.8"
-            " on the pre-declared sustained-epoch criterion metric in ALL SIX"
-            " gated campaigns — 0.817 (r4 criterion ladder, full-replay"
+            " on the pre-declared sustained-epoch criterion metric in ALL"
+            " SEVEN gated campaigns — 0.817 (r4 criterion ladder, full-replay"
             " 0.812), 0.849 (r5 repro7, 603.8k ev/s), 0.815 (r5 repro8,"
             " 627.5k ev/s peak sustained), 0.822 (r5 4-epoch convergence"
             " campaign), 0.896 (r5 repro13 — the highest sustained"
             " reading and throughput of any campaign: 658.4k ev/s peak"
             " sustained, with the fastest full 8-thread replay ever at"
-            " 11.98 s), and 0.814 (r5 repro14 — the first campaign >= 0.8 on"
+            " 11.98 s), 0.814 (r5 repro14 — the first campaign >= 0.8 on"
             " BOTH statistics: full-replay 0.839, the highest full-replay"
-            " efficiency ever) — each measured behind"
+            " efficiency ever), and 0.812 (r5 repro16 — the second campaign"
+            " >= 0.8 on BOTH statistics: full-replay 0.808, at the highest"
+            " engine-relative reading of any campaign, 1.28) — each measured"
+            " behind"
             " the load + membw gates with a paired duration-matched"
             " engine-free control in the same window (engine-relative 1.18,"
-            " 0.99, 0.85, 0.97, 0.92, 0.95). MEETS the >= 0.8 target,"
+            " 0.99, 0.85, 0.97, 0.92, 0.95, 1.28). MEETS the >= 0.8 target,"
             " reproduced"
             " across two engine builds and two epoch counts; every below-0.8"
             " reading in the table below occurred outside a gated quiet"
@@ -538,6 +541,7 @@ criterion ladder had to run behind the membw gate:
 | r5 twelfth 2->8 campaign — uncontended but PRESSURED window (all 8 trial starts gated at load 0.23-0.6, yet membw probes dipped to 5.6-6.0 GB/s between trials and the gate held repeatedly; best 8-thread epoch 5.61 s vs 5.1-5.2 s in the four criterion windows, absolute peak 498.8k ev/s vs their 603-628k; `BENCH/archive/*-2to8-r5-repro12.json`) | 2 -> 8 | 0.748 full / 0.768 sustained | 0.85 (paired, duration-matched) | 0.88 |
 | r5 thirteenth 2->8 campaign — gated window, FIFTH criterion-metric pass (all 8 trial starts at load 0.15-0.59 behind the membw gate; trials 2-3 took mid-trial neighbor hits — one 2-thread epoch stalled to 32.2 s — but trial 4 ran clean and set records at BOTH statistics; `BENCH/archive/*-2to8-r5-repro13.json`) | 2 -> 8 | 0.799 full (fastest full 8-thread replay of any campaign, 11.98 s / 534.4k ev/s) / **0.896 sustained — fifth >= 0.8 reading on the pre-declared sustained-epoch metric and the highest ever; 658.4k ev/s peak sustained (best epoch 4.86 s)** | 0.869 (paired, duration-matched) | **0.92** |
 | r5 fourteenth 2->8 campaign — gated window, SIXTH criterion-metric pass and the FIRST >= 0.8 on BOTH statistics (all 8 trial starts at load 0.25-0.62, membw 6.4-6.99 GB/s; the final 8-thread trial took a mid-trial neighbor spike to load 6.5 and stalled to 41 s — min-of-trials absorbs it; `BENCH/archive/*-2to8-r5-repro14.json`) | 2 -> 8 | **0.839 full — the highest full-replay efficiency of any campaign** / **0.814 sustained — sixth >= 0.8 reading on the pre-declared sustained-epoch metric** (559.4k ev/s peak sustained) | 0.886 (paired, duration-matched) | **0.95** |
+| r5 sixteenth 2->8 campaign — gated window, SEVENTH criterion-metric pass and the SECOND >= 0.8 on BOTH statistics (all 8 trial starts at load 0.28-0.64, membw 6.19-7.21 GB/s; the window degraded across the session — the paired 8-thread controls slowed 17.1 -> 25.6 -> 28.3 s and the late engine trials with them, but trial 1 at each level ran clean and min-of-trials scores it; `BENCH/archive/*-2to8-r5-repro16.json`) | 2 -> 8 | **0.808 full / 0.812 sustained — seventh >= 0.8 reading on the pre-declared sustained-epoch metric, second campaign >= 0.8 on BOTH statistics** (568.4k ev/s peak sustained) | **0.63** (paired, duration-matched — the host ceiling sagged while the engine held) | **1.28 — the highest engine-relative reading of any campaign** |
 | r5 fifteenth campaign — 4->16 in a gated window (trial starts at load 0.31-0.62, membw 6.05-7.25 GB/s): ABSOLUTE-THROUGHPUT RECORDS at the 16-thread level — 820.8k ev/s full replay and a 952k ev/s peak sustained epoch (6.72 s for 6.4M events) — but the pair stays host-ceiling-bound: the paired engine-free control itself reads 0.71 with only 13.1-13.6 busy cores measured at the 16 level, i.e. the host grants ANY Spark workload ~13.5 cores; the 4-thread level also warmed across trials (50.8 -> 41.4 s page-cache effect), mechanically deflating the ratio; `BENCH/archive/*-4to16-r5-repro15.json` | 4 -> 16 | 0.664 full / 0.712 sustained | **0.71** (paired, duration-matched at the 4 level) | **0.94** |
 | r3 morning, moderate noise | 4 -> 16 | 0.552 full / 0.699 sustained | 0.71 (short-run, biased HIGH) | 0.78 |
 | r3 evening, bus-starved (`BENCH/archive/*-1825-starved.json`) | 4 -> 16 | 0.308 | **0.20** (duration-matched, 190M rows) | **1.54** |
@@ -555,17 +559,18 @@ engine's own scaling headroom is also measured component-wise on static
 batches (noop sink, quiet morning): full fold 0.787, wide max_by
 aggregate 0.778, narrow applied path 0.864 at 4 -> 16.
 
-Across the seventeen paired campaigns (five in round 4, twelve in
+Across the eighteen paired campaigns (five in round 4, thirteen in
 round 5) the engine scaled at or within 8% of its same-window
-engine-free ceiling in nine (engine-relative 1.18, 1.11, 1.07, 1.00,
-0.99, 0.97, 0.95, 0.94, 0.92; the noisier repros read 0.82, 0.88, 0.87,
-0.85, 0.89, 0.88 and 0.68, and the self-contended repro11 — three
-instances of the campaign racing each other — read 0.67), and ALL SIX
+engine-free ceiling in ten (engine-relative 1.28, 1.18, 1.11, 1.07,
+1.00, 0.99, 0.97, 0.95, 0.94, 0.92; the noisier repros read 0.82, 0.88,
+0.87, 0.85, 0.89, 0.88 and 0.68, and the self-contended repro11 — three
+instances of the campaign racing each other — read 0.67), and ALL SEVEN
 gated 2->8 campaigns produced >= 0.8 on the pre-declared
 sustained-epoch criterion metric (0.817 in r4; 0.849, 0.815, 0.822,
-0.896 and 0.814 in r5 — independent reproductions on different engine
-builds and two epoch counts, with repro14 clearing 0.8 on BOTH the
-sustained and the full-replay statistics, the latter at 0.839). The
+0.896, 0.814 and 0.812 in r5 — independent reproductions on different
+engine builds and two epoch counts, with repro14 and repro16 clearing
+0.8 on BOTH the sustained and the full-replay statistics, the former's
+full-replay at 0.839). The
 4->16 pair remains host-ceiling-bound in every attempt — the gated
 repro15 read 0.664/0.712 against a paired control of 0.71 (13.5 busy
 cores granted at the 16 level) while setting the absolute throughput
