@@ -66,9 +66,9 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # Round-5 promotion list: every query absent from CORRECTNESS_r04
 # (rotated past the cap in r4 after multiple r1-r3 green rounds), in
-# module order, followed by the round-5-new queries.  These 22 sort
+# module order, followed by the round-5-new queries.  These 24 sort
 # FIRST so the driver's 50-entry harness attests them this round; the
-# r4-green queries fill the remaining 28 in-cap slots in module order
+# r4-green queries fill the remaining 26 in-cap slots in module order
 # and are additionally covered by the full-surface sweep in
 # tests/test_entry_oracles.py (every registered oracle, cap-independent).
 _PROMOTE_INTO_CAP = [
@@ -99,6 +99,8 @@ _PROMOTE_INTO_CAP = [
     # round-5-new queries (never driver-attested)
     "exact_substring_spans",
     "curated_corpus_packed",
+    "quality_classifier_score",
+    "bigram_surprisal",
 ]
 
 

@@ -924,6 +924,199 @@ FROM red r JOIN kept k ON r.doc_id = k.doc_id"""
     return pack_layout_sql(base, extra_select=", redacted_sha256")
 
 
+# --- round-5 additions: learned-filter inference + conditional LM gate ---
+
+#: hashed-feature space for the linear quality classifier
+_CLF_BUCKETS = 64
+#: Knuth multiplicative constant / a large prime — together they deal a
+#: deterministic pseudo-random weight to each hash bucket
+_CLF_MULT = 2654435761
+_CLF_PRIME = 1000003
+
+#: per-token quantized weight, as one shared SQL-lambda body: bucket =
+#: first 4 md5 hex digits mod 64 (md5 is the cross-engine hash family,
+#: same as the dataset splitter); weight = a deterministic pseudo-random
+#: value in [-0.5, 0.5) from integer arithmetic, quantized to 1e-4
+#: BEFORE the per-doc sum so the aggregation is exact integer math.
+_CLF_WQ_SPARK = (
+    f"CAST(round(((CAST(conv(substring(md5(t), 1, 4), 16, 10) AS BIGINT)"
+    f" % {_CLF_BUCKETS}) * {_CLF_MULT} % {_CLF_PRIME})"
+    f" * 10000 / {_CLF_PRIME}.0) AS BIGINT) - 5000"
+)
+_CLF_WQ_DUCK = (
+    f"CAST(round(((CAST(('0x' || substr(md5(t), 1, 4)) AS BIGINT)"
+    f" % {_CLF_BUCKETS}) * {_CLF_MULT} % {_CLF_PRIME})"
+    f" * 10000 / {_CLF_PRIME}.0) AS BIGINT) - 5000"
+)
+
+
+def quality_classifier_score(spark: SparkSession, sf: str) -> DataFrame:
+    """Learned-filter INFERENCE: score every document with a linear
+    classifier over hashed bag-of-tokens features — the fastText-style
+    quality model every public pretraining pipeline runs (CCNet's LM
+    filter, GPT-3's WebText-similarity classifier, RedPajama's fasttext
+    gates all have this exact serving shape: hash each token into a
+    fixed feature space, sum per-feature weights, threshold the margin).
+    The weight VECTOR here is a deterministic function of the bucket id
+    (integer multiplicative hashing, quantized to 1e-4) so both engines
+    materialize the identical model without shipping a file; swapping in
+    trained weights is a broadcast map lookup with the same plan.
+
+    Engine-exactness: the per-token weight is an exact integer
+    (``round((bucket·M mod P)·10⁴/P) − 5000``, one double division at
+    1e-4 quantization), so the per-doc margin is an exact integer sum —
+    partitioning- and order-independent; ``kept`` thresholds the integer
+    margin, never a float.
+
+    Scale shape: ZERO shuffle — tokenize, hash, weigh, and sum are one
+    row-local ``aggregate`` over the token array inside the same
+    whole-stage-codegen map as the scan (no explode, no groupBy: the
+    token stream never leaves its row). At 100 TB this is a pure
+    pass-through scoring pass, the cheapest possible plan for model
+    inference over a corpus."""
+    d = load(spark, sf, "documents")
+    margin = F.expr(
+        "aggregate(transform(split(lower(text), ' '),"
+        f" t -> {_CLF_WQ_SPARK}),"
+        " CAST(0 AS BIGINT), (a, x) -> a + x)"
+    )
+    n_tok = F.size(_toks())
+    return d.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        margin.alias("margin_total_scaled"),
+        F.round(
+            margin.cast("double") / n_tok.cast("double") / 10000.0, 4
+        ).alias("margin_mean"),
+        (margin >= 0).alias("kept"),
+    )
+
+
+QUALITY_CLF_SQL = f"""
+WITH scored AS (
+  SELECT doc_id,
+         len(string_split(lower(text), ' ')) AS n_tokens,
+         CAST(list_sum(list_transform(string_split(lower(text), ' '),
+              t -> {_CLF_WQ_DUCK})) AS BIGINT) AS margin_total_scaled
+  FROM documents
+)
+SELECT doc_id, n_tokens, margin_total_scaled,
+       round(CAST(margin_total_scaled AS DOUBLE)
+             / CAST(n_tokens AS DOUBLE) / 10000.0, 4) AS margin_mean,
+       margin_total_scaled >= 0 AS kept
+FROM scored
+"""
+
+
+#: mean bigram surprisal above this is the flagged high-perplexity tail
+#: (calibrated to the synthetic corpus: ~p95 of the per-doc means — a
+#: real pipeline fits this cut on a held-out sample, exactly as CCNet
+#: picks its perplexity buckets per language)
+_BIGRAM_PPL_GATE = 3.45
+
+
+def bigram_surprisal(spark: SparkSession, sf: str) -> DataFrame:
+    """Conditional-LM perplexity gate (the CCNet refinement of
+    ``unigram_surprisal``): each adjacent token pair's surprisal is
+    ``−ln p(w₂|w₁)`` under the corpus's own add-one-smoothed bigram LM
+    (``p(w₂|w₁) = (c(w₁,w₂)+1) / (c(w₁)+V)``, V = unigram vocabulary
+    size), and a document's score is its mean bigram surprisal — unlike
+    the unigram gate this catches locally-incoherent text built from
+    individually-common tokens (shuffled words score high here but
+    normal there). Documents with fewer than two tokens have no bigrams
+    and drop out, identically in both engines.
+
+    Engine-exactness: per-bigram surprisal is quantized to an integer
+    basis (``round(−ln(p)·10⁴)``) before the per-doc sum — exact integer
+    aggregation, partitioning- and order-independent; the engines only
+    agree on one ``ln`` per distinct bigram at 1e-4 quantization.
+
+    Scale shape: bigram construction is a row-local ``zip_with`` of the
+    token array against its own tail (no self-join, no positional
+    shuffle); counts are partial-aggregated groupBys keyed by bigram and
+    by context; V is a partial-aggregated distinct-count broadcast back
+    as a one-row crossJoin (no single-partition window); scoring is one
+    shuffle join of the bigram stream against the O(distinct-bigrams)
+    model + one partial-aggregated groupBy(doc_id)."""
+    d = load(spark, sf, "documents")
+    pairs = F.expr(
+        "zip_with(slice(split(lower(text), ' '), 1, size(split(lower(text), ' ')) - 1),"
+        " slice(split(lower(text), ' '), 2, size(split(lower(text), ' ')) - 1),"
+        " (a, b) -> struct(a AS w1, b AS w2))"
+    )
+    bg = (
+        d.filter(F.size(_toks()) >= 2)
+        .select("doc_id", F.explode(pairs).alias("p"))
+        .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    cbg = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_bg"))
+    ctx = cbg.groupBy("w1").agg(F.sum("c_bg").alias("c_ctx"))
+    vocab_size = (
+        d.select(F.explode(_toks()).alias("tok"))
+        .agg(F.count_distinct("tok").alias("v"))
+    )
+    model = (
+        cbg.join(ctx, "w1")
+        .crossJoin(F.broadcast(vocab_size))
+        .select(
+            "w1",
+            "w2",
+            F.round(
+                -F.log(
+                    (F.col("c_bg") + 1).cast("double")
+                    / (F.col("c_ctx") + F.col("v")).cast("double")
+                )
+                * 10000
+            )
+            .cast("long")
+            .alias("s"),
+        )
+    )
+    mean = F.round(
+        F.col("total_surprisal_scaled").cast("double")
+        / F.col("n_bigrams").cast("double")
+        / 10000.0,
+        4,
+    )
+    return (
+        bg.join(model, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("s").alias("total_surprisal_scaled"),
+        )
+        .withColumn("mean_surprisal", mean)
+        .withColumn("high_perplexity", mean >= F.lit(_BIGRAM_PPL_GATE))
+    )
+
+
+BIGRAM_SURPRISAL_SQL = f"""
+WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+bg AS (
+  SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+  FROM toks, unnest(range(1, len(t))) AS r(i)
+  WHERE len(t) >= 2
+),
+cbg AS (SELECT w1, w2, count(*) AS c_bg FROM bg GROUP BY w1, w2),
+ctx AS (SELECT w1, sum(c_bg) AS c_ctx FROM cbg GROUP BY w1),
+vocab AS (SELECT count(DISTINCT tok) AS v
+          FROM (SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents)),
+scored AS (
+  SELECT b.doc_id,
+         CAST(round(-ln(CAST(c.c_bg + 1 AS DOUBLE)
+                        / CAST(x.c_ctx + vocab.v AS DOUBLE)) * 10000) AS BIGINT) AS s
+  FROM bg b JOIN cbg c USING (w1, w2) JOIN ctx x USING (w1), vocab
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(s) AS BIGINT) AS total_surprisal_scaled,
+       round(CAST(sum(s) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 10000.0, 4)
+         AS mean_surprisal,
+       round(CAST(sum(s) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 10000.0, 4)
+         >= {_BIGRAM_PPL_GATE} AS high_perplexity
+FROM scored GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "token_stats": token_stats,
     "quality_score": quality_score,
@@ -943,6 +1136,8 @@ QUERIES = {
     "curated_corpus": curated_corpus,
     "curated_corpus_packed": curated_corpus_packed,
     "dsir_importance": dsir_importance,
+    "quality_classifier_score": quality_classifier_score,
+    "bigram_surprisal": bigram_surprisal,
     "doc_fingerprint": doc_fingerprint,
 }
 
@@ -962,4 +1157,6 @@ ORACLES = {
     "curated_corpus": CURATED_CORPUS_SQL,
     "curated_corpus_packed": _curated_packed_sql(),
     "dsir_importance": DSIR_SQL,
+    "quality_classifier_score": QUALITY_CLF_SQL,
+    "bigram_surprisal": BIGRAM_SURPRISAL_SQL,
 }

@@ -141,6 +141,17 @@ AUDITS: dict[str, list[tuple[str, str]]] = {
         ("per-doc collapse partial agg", "HashAggregate"),
         ("keeper election via window", "Window"),
     ],
+    "quality_classifier_score": [
+        # the hashed-linear-model margin is one row-local aggregate over
+        # the token array: only the 2 needed columns reach the scan
+        ("column pruning", "ReadSchema: struct<doc_id:bigint,text:string>"),
+    ],
+    "bigram_surprisal": [
+        # bigram + context counts are partial-aggregated groupBys; the
+        # vocabulary size broadcasts back as a one-row crossJoin
+        ("bigram/context partial aggs", "HashAggregate"),
+        ("V broadcast, not a window", "Broadcast"),
+    ],
     "curated_corpus_packed": [
         # the keep-list's cheap gates still reach the scans after the
         # redaction + packing composition
@@ -203,6 +214,18 @@ COUNT_AUDITS: dict[str, list[tuple[str, str, int]]] = {
     "pii_redaction": [
         ("zero shuffle (map-only)", "Exchange", 0),
         ("single documents scan", "Scan parquet", 2),
+    ],
+    # classifier inference is the same map-only shape: hash, weigh, and
+    # sum never leave the row — zero shuffle, one scan
+    "quality_classifier_score": [
+        ("zero shuffle (map-only)", "Exchange", 0),
+        ("single documents scan", "Scan parquet", 2),
+    ],
+    # the bigram LM must never funnel its vocabulary through one
+    # reducer: scalar V is an agg+broadcast, and all counts hash-agg
+    "bigram_surprisal": [
+        ("no sort-based agg", "SortAggregate", 0),
+        ("no single-partition window over vocab", "Window", 0),
     ],
     # the corpus is tokenized + hashed exactly once; the dup test and
     # rollup ride narrow hash rows (the 3-branch form scanned 3x)
