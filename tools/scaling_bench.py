@@ -471,8 +471,10 @@ trees (~315 ms/epoch), now memoized across epochs
 (`functions/exprcache.py`, 315 -> 73 ms). Same-host A/B: epoch walls
 1.35-1.7 s -> ~1.2 s, plain replay ~100k -> ~137k ev/s at local[32].
 Serial driver work is exactly what erodes N -> 4N efficiency, so the
-cut also moves the scaling ladder's absolute throughput (repro4 posted
-the highest per-level throughput of any campaign).
+cut also moves the scaling ladder's absolute throughput (repro4 set the
+first round-5 per-level records; the gated 4->16 repro15 and repro17
+campaigns then raised the absolute ceiling to 925.1k ev/s full replay
+and 1,103.4k ev/s peak sustained at 16 threads).
 """
     control = None
     ctrl_path = os.path.join(REPO, "BENCH", "control.json")
@@ -543,6 +545,7 @@ criterion ladder had to run behind the membw gate:
 | r5 fourteenth 2->8 campaign — gated window, SIXTH criterion-metric pass and the FIRST >= 0.8 on BOTH statistics (all 8 trial starts at load 0.25-0.62, membw 6.4-6.99 GB/s; the final 8-thread trial took a mid-trial neighbor spike to load 6.5 and stalled to 41 s — min-of-trials absorbs it; `BENCH/archive/*-2to8-r5-repro14.json`) | 2 -> 8 | **0.839 full — the highest full-replay efficiency of any campaign** / **0.814 sustained — sixth >= 0.8 reading on the pre-declared sustained-epoch metric** (559.4k ev/s peak sustained) | 0.886 (paired, duration-matched) | **0.95** |
 | r5 sixteenth 2->8 campaign — gated window, SEVENTH criterion-metric pass and the SECOND >= 0.8 on BOTH statistics (all 8 trial starts at load 0.28-0.64, membw 6.19-7.21 GB/s; the window degraded across the session — the paired 8-thread controls slowed 17.1 -> 25.6 -> 28.3 s and the late engine trials with them, but trial 1 at each level ran clean and min-of-trials scores it; `BENCH/archive/*-2to8-r5-repro16.json`) | 2 -> 8 | **0.808 full / 0.812 sustained — seventh >= 0.8 reading on the pre-declared sustained-epoch metric, second campaign >= 0.8 on BOTH statistics** (568.4k ev/s peak sustained) | **0.63** (paired, duration-matched — the host ceiling sagged while the engine held) | **1.28 — the highest engine-relative reading of any campaign** |
 | r5 fifteenth campaign — 4->16 in a gated window (trial starts at load 0.31-0.62, membw 6.05-7.25 GB/s): ABSOLUTE-THROUGHPUT RECORDS at the 16-thread level — 820.8k ev/s full replay and a 952k ev/s peak sustained epoch (6.72 s for 6.4M events) — but the pair stays host-ceiling-bound: the paired engine-free control itself reads 0.71 with only 13.1-13.6 busy cores measured at the 16 level, i.e. the host grants ANY Spark workload ~13.5 cores; the 4-thread level also warmed across trials (50.8 -> 41.4 s page-cache effect), mechanically deflating the ratio; `BENCH/archive/*-4to16-r5-repro15.json` | 4 -> 16 | 0.664 full / 0.712 sustained | **0.71** (paired, duration-matched at the 4 level) | **0.94** |
+| r5 seventeenth campaign — 4->16 re-run in a gated window (trial starts at load 0.35-0.71, membw 6.29-7.1 GB/s; one 4-thread trial took a mid-trial neighbor hit, first epoch 34.6 s vs ~18 s peers — min-of-trials absorbs it): NEW ABSOLUTE-THROUGHPUT RECORDS at the 16-thread level — 925.1k ev/s full replay (13.84 s for 12.8M events) and a 1,103.4k ev/s peak sustained epoch (5.8 s for 6.4M events), beating repro15's 820.8k/952k — while the pair stays host-ceiling-bound exactly as before: the paired engine-free control reads 0.565 with only 13.2-14.1 busy cores granted at the 16 level; `BENCH/archive/*-4to16-r5-repro17.json` | 4 -> 16 | 0.681 full / 0.759 sustained — the best 4->16 readings of any campaign on both statistics | **0.565** (paired, duration-matched — the host again grants ~13.5 cores at the 16 level) | **1.21 — the highest 4->16 engine-relative reading of any campaign** |
 | r3 morning, moderate noise | 4 -> 16 | 0.552 full / 0.699 sustained | 0.71 (short-run, biased HIGH) | 0.78 |
 | r3 evening, bus-starved (`BENCH/archive/*-1825-starved.json`) | 4 -> 16 | 0.308 | **0.20** (duration-matched, 190M rows) | **1.54** |
 | r3 night, bus-starved (archived) | 2 -> 8 | 0.614 full / 0.591 sustained | — (controls dropped for trial cadence) | — |
@@ -559,23 +562,25 @@ engine's own scaling headroom is also measured component-wise on static
 batches (noop sink, quiet morning): full fold 0.787, wide max_by
 aggregate 0.778, narrow applied path 0.864 at 4 -> 16.
 
-Across the eighteen paired campaigns (five in round 4, thirteen in
+Across the nineteen paired campaigns (five in round 4, fourteen in
 round 5) the engine scaled at or within 8% of its same-window
-engine-free ceiling in ten (engine-relative 1.28, 1.18, 1.11, 1.07,
-1.00, 0.99, 0.97, 0.95, 0.94, 0.92; the noisier repros read 0.82, 0.88,
-0.87, 0.85, 0.89, 0.88 and 0.68, and the self-contended repro11 — three
-instances of the campaign racing each other — read 0.67), and ALL SEVEN
-gated 2->8 campaigns produced >= 0.8 on the pre-declared
+engine-free ceiling in eleven (engine-relative 1.28, 1.21, 1.18, 1.11,
+1.07, 1.00, 0.99, 0.97, 0.95, 0.94, 0.92; the noisier repros read 0.82,
+0.88, 0.87, 0.85, 0.89, 0.88 and 0.68, and the self-contended repro11 —
+three instances of the campaign racing each other — read 0.67), and ALL
+SEVEN gated 2->8 campaigns produced >= 0.8 on the pre-declared
 sustained-epoch criterion metric (0.817 in r4; 0.849, 0.815, 0.822,
 0.896, 0.814 and 0.812 in r5 — independent reproductions on different
 engine builds and two epoch counts, with repro14 and repro16 clearing
 0.8 on BOTH the sustained and the full-replay statistics, the former's
 full-replay at 0.839). The
 4->16 pair remains host-ceiling-bound in every attempt — the gated
-repro15 read 0.664/0.712 against a paired control of 0.71 (13.5 busy
-cores granted at the 16 level) while setting the absolute throughput
-records: 820.8k ev/s full replay and a 952k ev/s peak sustained epoch
-at 16 threads. The round-5 repro4
+repro15 and repro17 campaigns read 0.664/0.712 and 0.681/0.759 against
+paired controls of 0.71 and 0.565 (both windows granting ~13.5 busy
+cores at the 16 level) while setting successive absolute throughput
+records, repro17's standing at 925.1k ev/s full replay and a 1,103.4k
+ev/s peak sustained epoch at 16 threads with the highest 4->16
+engine-relative reading (1.21). The round-5 repro4
 ran the faster round-5 engine
 (expression-cache serial-floor cut) and posted the highest absolute
 throughput of any campaign at BOTH levels while reading 0.769
