@@ -101,6 +101,7 @@ _PROMOTE_INTO_CAP = [
     "curated_corpus_packed",
     "quality_classifier_score",
     "bigram_surprisal",
+    "kmv_distinct_ndv",
 ]
 
 

@@ -144,6 +144,117 @@ GROUP BY centroid_id, t.range
 """
 
 
+#: bottom-k size for the KMV distinct-count sketch.  64 keeps the
+#: fixture's estimate path exercised (each return-flag group has ~2,000
+#: distinct partkeys at sf0.01) while the relative error stays within
+#: the sketch's 1/sqrt(K-1) ≈ 12.6% bound.
+KMV_K = 64
+#: salt fan-out for the mergeable two-phase min-K (one hex digit of the
+#: value hash → 16 disjoint pre-reduce partitions per group).
+_KMV_SALTS = 16
+
+
+def kmv_distinct_ndv(spark: SparkSession, sf: str) -> DataFrame:
+    """KMV (K-minimum-values / bottom-k) distinct-count sketch per
+    return-flag group, checked against the exact NDV.
+
+    The sketch keeps the K smallest md5 hashes of the distinct values;
+    with u_K = the K-th smallest hash mapped into [0,1), the estimator
+    is (K-1)/u_K (Bar-Yossef et al. 2002; the mergeable NDV sketch
+    engines keep in table stats).  Deterministic end-to-end — md5 is a
+    fixed function, so the DuckDB oracle reproduces the exact same
+    sketch, unlike approx_count_distinct whose HLL sketch is
+    engine-specific.
+
+    Scale shape (the reason this exists): a bottom-k sketch is
+    MERGEABLE — union the kept sets, re-take the K smallest.  The Spark
+    form makes that merge explicit as two bounded rank stages instead
+    of one global per-group sort:
+
+      1. distinct (grp, h)            — one shuffle, map-side partial
+      2. rank within (grp, salt)      — salt = h's 16th hex digit; each
+         of the 16 disjoint salt slices keeps its own bottom-K
+      3. rank within grp over ≤ 16·K survivors — the merge step; its
+         input is bounded at _KMV_SALTS·K rows per group no matter how
+         many distinct values the corpus has
+
+    so at 10^9 NDV the only stage that sees the full distinct set is
+    the embarrassingly-parallel salted pre-rank.  The single-window
+    oracle SQL is the sketch's definition; equality of the two proves
+    the salted pre-reduce commutes with the final bottom-K (merge
+    correctness), not just that the arithmetic matches.
+    """
+    li = load(spark, sf, "lineitem")
+    hashed = (
+        li.select(
+            F.col("l_returnflag").alias("grp"),
+            F.md5(F.col("l_partkey").cast("string")).alias("h"),
+        )
+        .distinct()
+        .withColumn("salt", F.substring("h", 16, 1))
+    )
+    from pyspark.sql import Window
+
+    pre = Window.partitionBy("grp", "salt").orderBy("h")
+    merged = Window.partitionBy("grp").orderBy("h")
+    kept = (
+        hashed.withColumn("rk", F.row_number().over(pre))
+        .where(F.col("rk") <= KMV_K)
+        .withColumn("rk", F.row_number().over(merged))
+        .where(F.col("rk") <= KMV_K)
+    )
+    # u_K from the first 15 hex digits (60 bits — exact in BIGINT; the
+    # BIGINT→DOUBLE rounding is IEEE round-to-nearest in both engines).
+    u_k = F.conv(F.substring(F.max("h"), 1, 15), 16, 10).cast("long") / F.pow(
+        F.lit(16.0), F.lit(15)
+    )
+    sketch = kept.groupBy("grp").agg(
+        F.round(
+            F.when(F.count(F.lit(1)) < KMV_K, F.count(F.lit(1)).cast("double")).otherwise(
+                F.lit(float(KMV_K - 1)) / u_k
+            ),
+            4,
+        ).alias("est_ndv")
+    )
+    truth = li.groupBy(F.col("l_returnflag").alias("grp")).agg(
+        F.countDistinct("l_partkey").alias("true_ndv")
+    )
+    return (
+        sketch.join(truth, "grp")
+        .select(
+            F.col("grp").alias("l_returnflag"),
+            "est_ndv",
+            "true_ndv",
+            F.round(
+                F.abs(F.col("est_ndv") - F.col("true_ndv")) / F.col("true_ndv") * 100, 2
+            ).alias("rel_err_pct"),
+        )
+    )
+
+
+KMV_SQL = """
+WITH hashed AS (
+  SELECT DISTINCT l_returnflag AS grp, md5(CAST(l_partkey AS VARCHAR)) AS h
+  FROM lineitem
+), ranked AS (
+  SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS rk
+  FROM hashed
+), sketch AS (
+  SELECT grp,
+         round(CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
+               ELSE 63.0 / (CAST(concat('0x', substr(max(h), 1, 15)) AS BIGINT)
+                            / pow(16.0, 15)) END, 4) AS est_ndv
+  FROM ranked WHERE rk <= 64 GROUP BY grp
+), truth AS (
+  SELECT l_returnflag AS grp, count(DISTINCT l_partkey) AS true_ndv
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT s.grp AS l_returnflag, s.est_ndv, t.true_ndv,
+       round(abs(s.est_ndv - t.true_ndv) / t.true_ndv * 100, 2) AS rel_err_pct
+FROM sketch s JOIN truth t ON s.grp = t.grp
+"""
+
+
 QUERIES = {
     "sql_api_revenue": sql_api_revenue,
     "shared_nations": shared_nations,
@@ -151,6 +262,7 @@ QUERIES = {
     "acctbal_percentiles": acctbal_percentiles,
     "price_quantity_correlation": price_quantity_correlation,
     "ivf_centroid_update": ivf_centroid_update,
+    "kmv_distinct_ndv": kmv_distinct_ndv,
 }
 
 ORACLES = {
@@ -160,4 +272,5 @@ ORACLES = {
     "acctbal_percentiles": PERCENTILES_SQL,
     "price_quantity_correlation": CORR_SQL,
     "ivf_centroid_update": IVF_UPDATE_SQL,
+    "kmv_distinct_ndv": KMV_SQL,
 }

@@ -173,6 +173,15 @@ AUDITS: dict[str, list[tuple[str, str]]] = {
         ("probe is a literal IN-list", " IN ("),
         ("top-k no global sort", "TakeOrderedAndProject"),
     ],
+    "kmv_distinct_ndv": [
+        # only the group + value columns reach either lineitem scan
+        ("column pruning", "ReadSchema: struct<l_partkey:bigint,l_returnflag:string>"),
+        # the bottom-K rank filter is applied map-side BEFORE each rank
+        # shuffle, so exchanges carry <= K rows per (grp,salt) per task —
+        # the sketch's mergeability realized in the physical plan
+        ("map-side bottom-K", "WindowGroupLimit"),
+        ("exact-NDV truth side broadcast", "BroadcastHashJoin"),
+    ],
 }
 
 #: query name → (label, substring, exact occurrence count) — for plan
@@ -237,6 +246,11 @@ COUNT_AUDITS: dict[str, list[tuple[str, str, int]]] = {
         ("single documents scan", "Scan parquet", 2),
         ("no sort-based agg", "SortAggregate", 0),
     ],
+    # the bottom-K sketch must never funnel the distinct set through one
+    # reducer: every Exchange is hash-partitioned on (grp[,salt]) and the
+    # rank filters ride map-side WindowGroupLimit(Partial) so shuffles
+    # carry <= K rows per group per map task
+    "kmv_distinct_ndv": [("no single-partition exchange", "SinglePartition", 0)],
 }
 
 FORBIDDEN = ["CartesianProduct"]
