@@ -516,7 +516,8 @@ and 1,103.4k ev/s peak sustained at 16 threads).
             " below-0.8"
             " reading in the table below occurred outside a quiet window —"
             " ungated, gated-but-pressured (mid-trial stalls / sub-gate membw"
-            " between trials, e.g. repro12/repro18/repro19), or for repro11"
+            " between trials, e.g. repro12/repro18/repro19/repro20), or for"
+            " repro11"
             " self-inflicted trial contention — and is reported with its"
             " control.**\n"
         )
@@ -553,6 +554,7 @@ criterion ladder had to run behind the membw gate:
 | r5 eighteenth 2->8 campaign — gated starts but a pressured window throughout (all 8 trial starts at load 0.21-0.59 / membw 6.31-6.87 GB/s, yet the 8-thread level never ran truly clean: best epochs 6.05-6.68 s vs 5.1-5.2 s in the criterion windows, one trial stalled to 30.4 s mid-run; the 2-thread level meanwhile caught one anomalously fast 16.04 s epoch — its sibling epoch in the same trial took 21.05 s — which mechanically deflates the sustained ratio; `BENCH/archive/*-2to8-r5-repro18.json`) | 2 -> 8 | 0.751 full / 0.663 sustained (the full-replay statistic is the steadier read of this window) | 0.805 (paired, duration-matched) | 0.93 |
 | r5 seventeenth campaign — 4->16 re-run in a gated window (trial starts at load 0.35-0.71, membw 6.29-7.1 GB/s; one 4-thread trial took a mid-trial neighbor hit, first epoch 34.6 s vs ~18 s peers — min-of-trials absorbs it): NEW ABSOLUTE-THROUGHPUT RECORDS at the 16-thread level — 925.1k ev/s full replay (13.84 s for 12.8M events) and a 1,103.4k ev/s peak sustained epoch (5.8 s for 6.4M events), beating repro15's 820.8k/952k — while the pair stays host-ceiling-bound exactly as before: the paired engine-free control reads 0.565 with only 13.2-14.1 busy cores granted at the 16 level; `BENCH/archive/*-4to16-r5-repro17.json` | 4 -> 16 | 0.681 full / 0.759 sustained — the best 4->16 readings of any campaign on both statistics | **0.565** (paired, duration-matched — the host again grants ~13.5 cores at the 16 level) | **1.21 — the highest 4->16 engine-relative reading of any campaign** |
 | r5 nineteenth 2->8 campaign — gated starts, window pressured after trial 1 (all 8 trial starts at load 0.24-0.53 / membw 6.16-6.77 GB/s, but between-trial membw probes dipped to 4.53-5.91 GB/s: the 8-thread engine trials 2-4 degraded to 16.7-17.5 s vs trial 1's clean 12.56 s and the paired 8-thread controls slid 19.8 -> 25.0 -> 49.9 -> 34.5 s; min-of-trials scores trial 1; `BENCH/archive/*-2to8-r5-repro19.json`) | 2 -> 8 | **0.812 full — an eighth >= 0.8 reading on the full-replay statistic** / 0.788 sustained, a near-miss on the pre-declared metric: the 2-thread best epoch (17.85 s) landed in the pressured tail while the 8-thread best (5.66 s, 565.4k ev/s) came from clean trial 1 | 0.672 (paired, duration-matched) | **1.21** |
+| r5 twentieth 2->8 campaign — gated starts, persistently pressured window (all 8 trial starts at load 0.14-0.38 / membw 6.32-6.62 GB/s, yet NEITHER level ever ran clean: 2-thread trials 43.6-59.2 s vs 40.8-43.2 s in repro19's window, 8-thread best epoch 6.76 s vs 5.1-5.7 s in the criterion windows, and the paired controls read it the same way — 8-thread controls 17.1-24.9 s vs 19.8 s clean; `BENCH/archive/*-2to8-r5-repro20.json`) | 2 -> 8 | 0.699 full / 0.762 sustained — a below-criterion pressured-window reading in the repro12/repro18 mold | 0.741 (paired, duration-matched) | 0.94 |
 | r3 morning, moderate noise | 4 -> 16 | 0.552 full / 0.699 sustained | 0.71 (short-run, biased HIGH) | 0.78 |
 | r3 evening, bus-starved (`BENCH/archive/*-1825-starved.json`) | 4 -> 16 | 0.308 | **0.20** (duration-matched, 190M rows) | **1.54** |
 | r3 night, bus-starved (archived) | 2 -> 8 | 0.614 full / 0.591 sustained | — (controls dropped for trial cadence) | — |
